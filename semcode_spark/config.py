@@ -1,0 +1,62 @@
+"""Engine configuration.
+
+The reference centralizes knobs in pydantic-settings
+(reference: settings.py:30-83 — embedding_batch_size=64,
+upsert_batch_size=128, rag_max_context_sources=5, IVF nlist=128/nprobe=16).
+We keep the same discipline as plain dataclasses + spark conf; no service
+framework.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Textbook BM25 (Robertson/Sparck-Jones, Lucene-style non-negative idf).
+
+    idf(t)   = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    score(d) = Σ_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Tie-break for rank identity (SURVEY §7.3 hard part b): score desc,
+    then doc_id asc — the reference inherits Milvus's ordering
+    (storage/milvus_store.py:141-148); ours is explicit and total.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    default_k: int = 10  # reference default top_k (storage/milvus_store.py:135)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Layout knobs for the persisted inverted index.
+
+    term_buckets: number of hash(term) buckets the postings shuffle
+        repartitions into — the analog of Milvus nlist=128 clusters
+        (reference: storage/milvus_store.py:78-82). At 100 TB this is the
+        unit of parallel index build AND of checkpoint/resume; size it so
+        one bucket's postings fit comfortably in one task (~256 MB-1 GB).
+    block_size: postings per compressed block (delta+varint). 128 mirrors
+        the reference's upsert batch (settings.py:76) and is the classic
+        block-max WAND block size.
+    hot_term_df_ratio: a term whose df exceeds ratio*N is "hot" and gets
+        salted into `salt_factor` sub-keys at the shuffle to break skew
+        (north_rule: explicit hot-term skew splitting).
+    """
+
+    term_buckets: int = 32
+    block_size: int = 128
+    hot_term_df_ratio: float = 0.05
+    salt_factor: int = 8
+    token_pattern: str = "[^a-z0-9]+"  # split-pattern, shared with DuckDB oracle
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    bm25: BM25Config = field(default_factory=BM25Config)
+    index: IndexConfig = field(default_factory=IndexConfig)
+
+
+DEFAULT = EngineConfig()

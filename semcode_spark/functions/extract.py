@@ -1,0 +1,52 @@
+"""HTML → text extraction (Arrow-vectorized, byte-identical per url).
+
+The reference's parse stage decodes raw bytes with errors="ignore" and
+segments the result (reference: chunking/tree_sitter_chunker.py:158-166);
+our analog decodes ``html:binary`` the same way and extracts body text.
+The invariant demanded by input_hint — *byte-identical extracted text per
+url* — is enforced in tests/test_extract.py against the golden ``text``
+column of the synthetic corpus.
+
+Bytes stay BinaryType until inside the UDF (SURVEY §7.3 hard part a):
+pandas receives raw bytes objects, so Python's errors="ignore" semantics
+apply exactly; letting Spark cast binary→string first would replace
+invalid bytes instead of dropping them.
+
+This is a scalar pandas_udf (Arrow batches), never row-at-a-time Python,
+and the fallback branch (no <body> found → whole-document tag strip)
+mirrors the reference's plain-text fallback chunker
+(tree_sitter_chunker.py:204-239).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+_BODY_RE = re.compile(r"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text_py(html: bytes | None) -> str:
+    """Single-value extraction rule (shared with the pure-Python oracle)."""
+    if html is None:
+        return ""
+    s = html.decode("utf-8", errors="ignore")
+    m = _BODY_RE.search(s)
+    scope = m.group(1) if m else s  # fallback: strip tags over the whole doc
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", scope)).strip()
+
+
+def extract_text(html: Column) -> Column:
+    """Apply the extraction rule as a scalar pandas_udf (created lazily —
+    pandas_udf needs an active SparkSession to resolve the return type)."""
+
+    @pandas_udf("string")
+    def _extract(s: pd.Series) -> pd.Series:
+        return s.map(extract_text_py)
+
+    return _extract(html)

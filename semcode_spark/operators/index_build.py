@@ -1,0 +1,315 @@
+"""Distributed inverted-index build.
+
+Pipeline (the Spark re-expression of the reference's
+ingest → chunk → embed → upsert flow, reference: services/indexer.py:65-133):
+
+    scan(documents/web_pages)
+      → tokenize (JVM codegen, functions/tokenize.py)          [no shuffle]
+      → explode → groupBy(term, doc_id) count                  [shuffle 1: partial agg]
+      → term/corpus stats aggs                                 [shuffle 2: tiny]
+      → hot-term salting + repartition(bucket(term, salt))     [shuffle 3]
+      → sortWithinPartitions(term, salt, doc_id)               [in-partition external sort]
+      → mapInPandas block encoder (delta+varint + block max)   [Arrow, no per-row Python]
+      → parquet/Iceberg write, partitioned by bucket group     [checkpoint grain]
+
+Scale notes (100 TB / 10^12 docs):
+- shuffle 1 benefits from map-side partial aggregation: rows shuffled ≈
+  distinct (term, doc) pairs per map task, not token occurrences.
+- shuffle 3 is THE big exchange. Hot terms (df > ratio·N) are split into
+  ``salt_factor`` sub-keys keyed by hash(doc_id) so no single reducer
+  owns a full stopword posting list (north_rule: explicit skew split).
+  AQE skew handling remains on as the safety net.
+- the block encoder runs on *sorted* partition streams via mapInPandas,
+  so Spark's spillable external sort does the heavy lifting and Python
+  only packs bytes; a carry buffer keeps (term, salt) groups intact
+  across Arrow batch boundaries so the block layout is deterministic
+  (byte-identical on rebuild — the resume contract).
+- per-bucket-group writes + a manifest row after each group give
+  partition-grain idempotent resume, the Spark equivalent of the
+  reference's staged JobInfo progress (api/jobs.py:17-30,73-91).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from semcode_spark.config import DEFAULT, EngineConfig
+from semcode_spark.functions.tokenize import tokens_col
+from semcode_spark.operators import blocks as B
+
+POSTINGS_SCHEMA = (
+    "term string, salt int, block_id int, n int, "
+    "doc_ids binary, tfs binary, max_w double, sum_tf long, "
+    "first_doc long, last_doc long"
+)
+
+
+# ---------------------------------------------------------------- stats ----
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, doc_len (token count) — the analog of the reference's
+    per-chunk bookkeeping (chunking/tree_sitter_chunker.py:48-57)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).alias("doc_len"),
+    )
+
+
+def term_doc_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf, doc_len) — the exploded postings relation.
+
+    explode + groupBy compiles to a hash aggregate with map-side partial
+    combine; doc_len rides along (functionally dependent on doc_id) so
+    the build never needs a doc-stats join."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("toks"),
+    ).select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    return toks.groupBy("term", "doc_id", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def corpus_stats(dstats: DataFrame) -> DataFrame:
+    return dstats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+
+
+def term_stats(tf: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """term, df, cf, max_w — max_w (idf-free weight bound, needs avgdl)
+    is added during build from the encoded blocks instead; here df/cf."""
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+# ------------------------------------------------------------- encoding ----
+
+def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode one or more complete (term, salt) runs (already sorted by
+    term, salt, doc_id) into block rows. Per-group numpy; the Python loop
+    is per *term*, never per posting."""
+    out: list[tuple] = []
+    for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+        doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
+        tfs = g["tf"].to_numpy(dtype=np.int64)
+        ws = g["w"].to_numpy(dtype=np.float64)
+        for b0 in range(0, len(doc_ids), block_size):
+            sl = slice(b0, b0 + block_size)
+            ids = doc_ids[sl]
+            out.append((
+                term, int(salt), b0 // block_size, len(ids),
+                B.encode_doc_ids(ids.astype(np.uint64)),
+                B.varint_encode(tfs[sl].astype(np.uint64)),
+                float(ws[sl].max()),
+                int(tfs[sl].sum()),
+                int(ids[0]), int(ids[-1]),
+            ))
+    return pd.DataFrame(
+        out,
+        columns=["term", "salt", "block_id", "n", "doc_ids", "tfs",
+                 "max_w", "sum_tf", "first_doc", "last_doc"],
+    )
+
+
+def _make_encoder(block_size: int) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # hold back the trailing (term, salt) run — it may continue
+            # in the next Arrow batch
+            last_term = pdf["term"].iat[-1]
+            last_salt = pdf["salt"].iat[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            # tail is a contiguous suffix because input is sorted
+            n_tail = int(tail_mask.to_numpy()[::-1].argmin() or len(pdf))
+            carry = pdf.iloc[len(pdf) - n_tail:]
+            head = pdf.iloc[: len(pdf) - n_tail]
+            if len(head):
+                yield _encode_groups(head, block_size)
+        if carry is not None and len(carry):
+            yield _encode_groups(carry, block_size)
+
+    return encode_partition
+
+
+# ---------------------------------------------------------------- build ----
+
+def hot_terms(tstats: DataFrame, n_docs: int, cfg: EngineConfig = DEFAULT) -> list[str]:
+    """Terms with df above the skew threshold (driver-collected: the hot
+    set is tiny by definition — stopword-scale cardinality)."""
+    thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
+    return [
+        r["term"]
+        for r in tstats.filter(F.col("df") > thr).select("term").collect()
+    ]
+
+
+def encoded_postings(
+    tf: DataFrame,
+    avgdl: float,
+    hot: list[str],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """tf (term, doc_id, doc_len, tf) → block-compressed postings.
+
+    The single wide shuffle of the build: repartition by
+    hash(term, salt) % term_buckets with hot-term salting.
+    """
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    sf = cfg.index.salt_factor
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    )
+    salted = tf.withColumn(
+        "salt",
+        F.when(
+            F.col("term").isin(hot) if hot else F.lit(False),
+            F.pmod(F.xxhash64("doc_id"), F.lit(sf)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).withColumn("w", w.cast("double"))
+    bucketed = salted.withColumn(
+        "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(cfg.index.term_buckets)).cast("int")
+    )
+    sorted_parts = bucketed.repartition(cfg.index.term_buckets, "bucket").sortWithinPartitions(
+        "term", "salt", "doc_id"
+    )
+    enc = sorted_parts.select("term", "salt", "doc_id", "tf", "w").mapInPandas(
+        _make_encoder(cfg.index.block_size), schema=POSTINGS_SCHEMA
+    )
+    # re-attach bucket for partition pruning at query time
+    return enc.withColumn(
+        "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(cfg.index.term_buckets)).cast("int")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    groups: int = 4,
+    resume: bool = False,
+    fail_after_group: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Build (or resume) the full index under out_dir.
+
+    Layout:
+      out_dir/docs/            doc_id, doc_len
+      out_dir/corpus/          n_docs, avgdl
+      out_dir/term_stats/      term, df, cf
+      out_dir/postings/group=g/  block rows (bucket % groups == g)
+      out_dir/manifest/        stage, group, status, rows, wall_ms, ts  (append-only lineage)
+      out_dir/metrics/         stage, rows, wall_ms                     (telemetry analog)
+
+    ``groups`` is the checkpoint grain: each group is one idempotent
+    Spark job + one manifest append; a rerun with resume=True skips
+    completed groups exactly (reference resume contract:
+    api/main.py:246-325). ``fail_after_group`` injects a crash for the
+    resume test. Returns summary dict.
+    """
+    t_all = time.time()
+    man_dir = os.path.join(out_dir, "manifest")
+    done = _completed(spark, man_dir) if resume else set()
+    metrics: list[tuple] = []
+
+    tf = term_doc_tf(docs, id_col, text_col).persist()
+    try:
+        if "stats" in done:
+            cs = spark.read.parquet(os.path.join(out_dir, "corpus")).collect()[0]
+            n_docs, avgdl = cs["n_docs"], cs["avgdl"]
+            hot = [
+                r["term"] for r in spark.read.parquet(os.path.join(out_dir, "term_stats"))
+                .filter(F.col("is_hot")).select("term").collect()
+            ]
+        else:
+            t0 = time.time()
+            ds = doc_stats(docs, id_col, text_col)
+            ds.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+            cs = corpus_stats(ds).collect()[0]
+            n_docs, avgdl = cs["n_docs"], cs["avgdl"]
+            spark.createDataFrame(
+                [(int(n_docs), float(avgdl))], "n_docs long, avgdl double"
+            ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+            ts = term_stats(tf, cfg)
+            thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
+            ts.withColumn("is_hot", F.col("df") > thr).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "term_stats")
+            )
+            hot = [
+                r["term"] for r in spark.read.parquet(os.path.join(out_dir, "term_stats"))
+                .filter(F.col("is_hot")).select("term").collect()
+            ]
+            _manifest_append(spark, man_dir, "stats", -1, "completed", n_docs, time.time() - t0)
+            metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
+
+        enc_all = encoded_postings(tf, float(avgdl), hot, cfg)
+        for g in range(groups):
+            key = f"group={g}"
+            if key in done:
+                continue
+            t0 = time.time()
+            part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
+            part.write.mode("overwrite").parquet(os.path.join(out_dir, "postings", f"group={g}"))
+            rows = spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}")).count()
+            _manifest_append(spark, man_dir, "postings", g, "completed", rows, time.time() - t0)
+            metrics.append((f"postings/g{g}", rows, int((time.time() - t0) * 1000)))
+            if fail_after_group is not None and g >= fail_after_group:
+                raise RuntimeError(f"injected failure after group {g}")
+    finally:
+        tf.unpersist()
+        if metrics:
+            spark.createDataFrame(
+                metrics, "stage string, rows long, wall_ms long"
+            ).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+
+    wall = time.time() - t_all
+    return {"n_docs": int(n_docs), "avgdl": float(avgdl), "hot_terms": len(hot),
+            "groups": groups, "wall_s": wall, "docs_per_sec": int(n_docs) / wall}
+
+
+def _manifest_append(
+    spark: SparkSession, man_dir: str, stage: str, group: int,
+    status: str, rows: int, wall_s: float,
+) -> None:
+    spark.createDataFrame(
+        [(stage, group, status, int(rows), int(wall_s * 1000))],
+        "stage string, group int, status string, rows long, wall_ms long",
+    ).write.mode("append").parquet(man_dir)
+
+
+def _completed(spark: SparkSession, man_dir: str) -> set[str]:
+    try:
+        man = spark.read.parquet(man_dir)
+    except Exception:
+        return set()
+    out: set[str] = set()
+    for r in man.filter(F.col("status") == "completed").collect():
+        out.add("stats" if r["stage"] == "stats" else f"group={r['group']}")
+    return out
+
+
+def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    return {
+        "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
+        "corpus": spark.read.parquet(os.path.join(out_dir, "corpus")),
+        "term_stats": spark.read.parquet(os.path.join(out_dir, "term_stats")),
+        "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
+    }

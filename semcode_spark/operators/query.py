@@ -1,0 +1,237 @@
+"""BM25 top-k ranked retrieval.
+
+Two paths, both DataFrame-planned:
+
+1. ``bm25_topk`` — exhaustive scoring straight off the corpus (or a flat
+   tf relation). This is the oracle-comparable path: broadcast the query
+   terms, join postings, one hash agg, TakeOrderedAndProject. Mirrors
+   the reference's retrieval orchestration (rag/pipeline.py:93-131) with
+   the ANN probe (storage/milvus_store.py:135-148) replaced by a
+   broadcast join.
+
+2. ``wand_topk`` — the persisted block index path with block-max
+   pruning: an initial θ from each term's single best block, then only
+   blocks whose upper bound (idf·max_w_block + Σ other terms' global
+   bounds) exceeds θ are decoded. The analog of IVF nprobe=16/128
+   cluster pruning (milvus_store.py:144), but lossless: tests assert
+   pruned == exhaustive.
+
+Physical shape of (1): BroadcastExchange(query terms) → hash agg on
+doc_id → TakeOrderedAndProject(k) — zero wide shuffles for small k
+(partial top-k per partition, merged on the driver, SURVEY §3.2).
+
+Rank identity: total order (score desc, doc_id asc) — SURVEY §7.3(b).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from semcode_spark.config import DEFAULT, EngineConfig
+from semcode_spark.functions.tokenize import tokenize_query
+from semcode_spark.operators import blocks as B
+from semcode_spark.operators.index_build import term_doc_tf
+
+
+def idf_col(df_col, n_docs: float):
+    """Lucene-style non-negative idf: ln((N - df + 0.5)/(df + 0.5) + 1)."""
+    return F.log((F.lit(n_docs) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+
+
+def score_col(tf_col, dl_col, idf, avgdl: float, cfg: EngineConfig = DEFAULT):
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    return idf * (tf_col * (k1 + 1.0)) / (
+        tf_col + k1 * (1.0 - b + b * dl_col / avgdl)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exhaustive BM25 scores for every matching doc: (doc_id, score).
+
+    Self-contained (computes tf/df/stats from the corpus): used for
+    oracle comparison and as the reference result for WAND tests.
+    """
+    spark = docs.sparkSession
+    tf = term_doc_tf(docs, id_col, text_col)
+    stats = docs.select(F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), DEFAULT.index.token_pattern),
+                 lambda t: t != "")
+    ).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+
+    qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    tstats = tf.join(F.broadcast(qt), "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    matched = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(tstats), "term")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+    )
+    return matched.groupBy("doc_id").agg(
+        F.sum(
+            score_col(F.col("tf"), F.col("doc_len"), F.col("idf"), avgdl, cfg)
+        ).alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k (doc_id, score) for a free-text query — exhaustive path."""
+    k = k or cfg.bm25.default_k
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("empty query")  # reference validates the same (api/main.py:203-206)
+    scores = bm25_scores(docs, terms, cfg, id_col, text_col)
+    return (
+        scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+# ----------------------------------------------------------- index path ----
+
+def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """block rows → (term, doc_id, w) posting rows (numpy decode)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        terms, ids, ws = [], [], []
+        for row in pdf.itertuples(index=False):
+            d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
+            tf = B.varint_decode(row.tfs).astype(np.float64)
+            # recompute exact w from tf: w stored per-block only as max;
+            # exact per-posting w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+            # requires dl — so blocks store tf and we join doc_len after
+            ids.append(d)
+            ws.append(tf)
+            terms.append(np.full(len(d), row.term, dtype=object))
+        yield pd.DataFrame({
+            "term": np.concatenate(terms),
+            "doc_id": np.concatenate(ids),
+            "tf": np.concatenate(ws),
+        })
+
+
+def wand_topk(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    query: str,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k over the persisted block index with block-max pruning.
+
+    Stage A (θ bootstrap): decode only each term's best block (highest
+    max_w), score those docs exactly, θ = k-th best score so far.
+    Stage B: keep a block of term t iff
+        idf_t · max_w(block) + Σ_{t'≠t} idf_t' · max_w_global(t') > θ
+    — a doc not appearing in any surviving block cannot beat θ. Decode
+    survivors, score exactly, merge with stage-A docs, global top-k.
+
+    All candidate selection is DataFrame joins/filters; only the byte
+    decode runs in Python (Arrow batches). Lossless by construction
+    (verified vs bm25_topk in tests/test_wand.py).
+    """
+    k = k or cfg.bm25.default_k
+    terms = list(dict.fromkeys(tokenize_query(query)))
+    if not terms:
+        raise ValueError("empty query")
+    corpus = index["corpus"].collect()[0]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    tstats = (
+        index["term_stats"].join(F.broadcast(qt), "term")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .select("term", "idf")
+    )
+    cand = index["postings"].join(F.broadcast(qt), "term")
+    cand = cand.join(F.broadcast(tstats), "term").withColumn(
+        "ub", F.col("idf") * F.col("max_w")
+    )
+
+    if prune:
+        cand = cand.persist()
+        try:
+            # per-term global upper bound and each term's best block
+            per_term = cand.groupBy("term").agg(F.max("ub").alias("term_ub"))
+            total_ub = sum(r["term_ub"] for r in per_term.collect()) or 0.0
+            best = cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("term").orderBy(
+                        F.col("ub").desc(), F.col("salt"), F.col("block_id")
+                    )
+                ),
+            ).filter(F.col("rn") == 1).drop("rn")
+            theta_rows = (
+                _score_blocks(best, tstats, avgdl, index["docs"], cfg)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            theta = theta_rows[-1]["score"] if len(theta_rows) >= k else -1.0
+            # block survives if its own bound plus the other terms' global
+            # bounds could still beat θ
+            survivors = cand.join(F.broadcast(per_term), "term").filter(
+                F.col("ub") + F.lit(total_ub) - F.col("term_ub") > F.lit(theta)
+            )
+            result = (
+                _score_blocks(survivors, tstats, avgdl, index["docs"], cfg)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+            )
+            rows = result.collect()
+        finally:
+            cand.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, score double") if rows else \
+            spark.createDataFrame([], "doc_id long, score double")
+
+    return (
+        _score_blocks(cand, tstats, avgdl, index["docs"], cfg)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _score_blocks(
+    blocks_df: DataFrame,
+    tstats: DataFrame,
+    avgdl: float,
+    docs: DataFrame,
+    cfg: EngineConfig,
+) -> DataFrame:
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    postings = blocks_df.select("term", "doc_ids", "tfs").mapInPandas(
+        _decode_blocks, schema="term string, doc_id long, tf double"
+    )
+    joined = postings.join(F.broadcast(tstats), "term").join(docs, "doc_id")
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.col("idf") * w).alias("score")
+    )

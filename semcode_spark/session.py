@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode settings mirror what we'd set cluster-side via
+``spark-submit --conf`` (the reference's analog is env/TOML layered
+settings, reference: settings.py:95-107). AQE is always on: it handles
+runtime skew-join splitting and shuffle-partition coalescing, which at
+100 TB replaces hand-tuned ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "semcode-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow everywhere: every Python kernel is vectorized (input_hint:
+        # no per-row Python). Batch size mirrors the reference's batching
+        # discipline (embed 64 / upsert 128, settings.py:55,76) scaled to
+        # Arrow-appropriate sizes.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE: runtime re-plan — coalesce small shuffle partitions, split
+        # skewed ones (north_rule: skew handled explicitly; AQE is the
+        # built-in half, hot-term salting in operators/index_build.py is
+        # the explicit half).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast threshold: query-term / dim tables always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

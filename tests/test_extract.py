@@ -1,0 +1,47 @@
+"""Byte-identical extraction invariant (input_hint) + fixture shape."""
+
+from pyspark.sql import functions as F
+
+from semcode_spark.functions.extract import extract_text, extract_text_py
+from semcode_spark.sources.webpages import synth_web_pages
+
+
+def test_web_pages_shape(spark):
+    df = synth_web_pages(spark, 200)
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["html"] == "binary" and types["warc_ts"] == "timestamp"
+    assert df.count() == 200
+    assert df.select("url").distinct().count() == 200
+
+
+def test_deterministic(spark):
+    a = synth_web_pages(spark, 50).orderBy("url").collect()
+    b = synth_web_pages(spark, 50).orderBy("url").collect()
+    assert a == b
+
+
+def test_extraction_byte_identical(spark):
+    """Engine-extracted text == golden text column, per url, including
+    the ~1% rows with injected invalid UTF-8 (errors='ignore' semantics,
+    reference: tree_sitter_chunker.py:162-163)."""
+    pages = synth_web_pages(spark, 500)
+    mismatch = (
+        pages.withColumn("extracted", extract_text(F.col("html")))
+        .filter(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert mismatch == 0
+    # the corpus really does contain invalid-UTF-8 rows (the interesting case)
+    n_bad = pages.filter(F.col("html") != F.encode(
+        F.format_string(
+            "<html><head><title>page %d</title></head><body><p>%s</p></body></html>",
+            F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long"), F.col("text"),
+        ), "UTF-8")).count()
+    assert n_bad > 0
+
+
+def test_extract_py_fallback_and_null():
+    assert extract_text_py(None) == ""
+    assert extract_text_py(b"plain <b>no body tag</b> here") == "plain no body tag here"
+    assert extract_text_py("<body>a\xff b</body>".encode("latin-1")) == "a b"

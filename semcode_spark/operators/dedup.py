@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 10^12 docs:
+- exact dedup = hash-groupBy on the content fingerprint — one shuffle,
+  map-side combine, AQE-coalesced.
+- near-dup never does the O(n²) cross join: candidates come from an
+  inverted index (shared shingle / shared LSH band / simhash prefix
+  bucket), i.e. a self-equi-join on a posting-style relation — the same
+  shuffle shape as the BM25 index build.
+- the hash family is md5 (functions/hashing.py) so every operator has a
+  bit-exact DuckDB oracle; swap in xxhash64 for raw speed if oracle
+  parity is not needed.
+
+All shingling/minhashing is JVM higher-order functions (transform /
+array_min / aggregate) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semcode_spark.functions.hashing import md5_long_col
+from semcode_spark.functions.tokenize import tokens_col
+from semcode_spark.functions.rounding import fround
+from semcode_spark.operators.textstats import fingerprint
+
+
+# ------------------------------------------------------------- exact -------
+
+def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp, group_size, is_dup): is_dup marks every doc that is
+    not the smallest doc_id of its fingerprint group (the canonical
+    keep-first policy)."""
+    fp = fingerprint(docs, text_col, id_col)
+    grp = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    return (
+        fp.join(grp, "fp")
+        .select(
+            "doc_id", "fp", "group_size",
+            (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+        )
+    )
+
+
+# ----------------------------------------------------------- shingles ------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams. Built with a JVM
+    transform over token positions (no Python, no window shuffle)."""
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+    # drop degenerate shingles from docs shorter than n tokens
+    return out.filter(F.size(F.split(F.col("shingle"), " ")) == n)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) with a < b and jaccard ≥ threshold.
+
+    Candidates via the shingle inverted index (self-join on shingle),
+    |A∩B| from the join, |A∪B| = |A|+|B|−|∩|. Exact, not approximate.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    left = sh.alias("l")
+    right = sh.alias("r")
+    inter = (
+        left.join(right, (F.col("l.shingle") == F.col("r.shingle"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", fround(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ minhash ------
+
+def minhash_signature(
+    docs: DataFrame, n_perm: int = 16, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>[n_perm]) — MinHash over word shingles.
+
+    Permutation p's hash of shingle s = md5_long('p:' || s); the
+    signature element is the min over the doc's shingles. One narrow
+    pass: transform+array_min per permutation, all codegen.
+    """
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+        lambda s: F.size(F.split(s, " ")) == n,
+    ))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s, p=p: md5_long_col(F.concat(F.lit(f"{p}:"), s))
+        ))
+        for p in range(n_perm)
+    ])
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")) \
+               .filter(F.col("sig")[0].isNotNull())
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_perm: int = 16, bands: int = 4, threshold: float = 0.5,
+    n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH-banded near-dup detection: band key = md5 over the band's
+    signature slice → docs sharing any band are candidates → verified
+    with exact shingle Jaccard ≥ threshold. Output (a, b, jaccard).
+
+    At 10^12 docs the band join is the only shuffle that matters; band
+    keys are uniform md5 values so it is skew-free by construction.
+    """
+    rows_per_band = n_perm // bands
+    sig = minhash_signature(docs, n_perm, n, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ])).alias("x")
+            for b in range(bands)
+        ])).alias("band_key"),
+    ).distinct()
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), (F.col("l.band_key") == F.col("r.band_key"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n,
+                                text_col=text_col, id_col=id_col)
+    return (
+        cand.join(exact, ["a", "b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ simhash ------
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash long): tf-weighted sign votes per bit of the
+    term's md5-derived integer. Expressed as explode → conditional agg →
+    bit reassembly (shiftleft+sum) — pure relational, one shuffle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h", md5_long_col(F.col("term")))
+    votes = (
+        h.select(
+            "doc_id", "tf", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("(h >> bit) & 1") == 1,
+                   F.col("tf")).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("cast(1 as bigint) << bit"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_neardups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming. Candidates via the
+    pigeonhole trick: split the hash into (max_hamming+1) chunks — a
+    pair within distance d must agree exactly on ≥1 chunk → equi-join
+    per chunk, then verify with bit_count(xor). Never a cross join."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sh = simhash(docs, bits, text_col, id_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND((1 << chunk_bits) - 1).alias("v"),
+            )
+            for c in range(n_chunks)
+        ])).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"),
+              (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

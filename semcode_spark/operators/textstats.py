@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is pure JVM column expressions (whole-stage codegen, no
+Python) and every formula is replicated verbatim in the DuckDB oracle
+SQL (__spark_entry__.py) — the portability discipline of
+functions/hashing.py. The reference's closest analog is its language
+classification + chunk bookkeeping (tree_sitter_chunker.py:149-156,
+registry language_summary storage/registry.py:28).
+
+Scale: all operators are narrow (per-row) transformations — no shuffle,
+fully pipelined into the scan; at 100 TB they run at parquet-read speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semcode_spark.functions.tokenize import tokens_col
+from semcode_spark.functions.rounding import fround
+
+# stopword marker sets for the n-gram-free language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+}
+EN_STOPWORDS = LANG_MARKERS["en"] + ["for", "on", "with", "as", "at", "this"]
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    deterministic tie-break by fixed language priority en > es > de,
+    'und' (undetermined) when no marker hits at all."""
+    toks = tokens_col(text_col)
+    hits = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace/alnum token count + a BPE-ish subword estimate
+    (ceil(chars/4) per token, the classic ~4-chars-per-token rule)."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+        ).alias("n_subwords"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, mean token length, stopword
+    ratio, non-alnum character ratio, and a composite [0,1] score.
+    Composite: clamp(n_tokens/100) * 0.4 + stop_ratio_norm * 0.3 +
+    (1 - punct_ratio) * 0.3 — arbitrary but fixed; what matters is the
+    engine-side plan (narrow, codegen) and oracle parity."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = _marker_hits(toks, EN_STOPWORDS)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[^a-z0-9 ]", ""))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    composite = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.3
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        fround(F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok)
+                .otherwise(F.lit(0.0)), 4).alias("avg_token_len"),
+        fround(stop_ratio, 4).alias("stop_ratio"),
+        fround(punct_ratio, 4).alias("punct_ratio"),
+        fround(composite, 4).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical content fingerprint: md5 over the normalized token
+    stream (the dedup key — analog of the reference's md5 chunk ids,
+    services/indexer.py:185-188)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", tokens_col(text_col))).alias("fp"),
+    )

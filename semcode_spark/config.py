@@ -37,7 +37,11 @@ class IndexConfig:
         repartitions into — the analog of Milvus nlist=128 clusters
         (reference: storage/milvus_store.py:78-82). At 100 TB this is the
         unit of parallel index build AND of checkpoint/resume; size it so
-        one bucket's postings fit comfortably in one task (~256 MB-1 GB).
+        one bucket's postings fit comfortably in one task (~256 MB-1 GB)
+        AND keep it ≥4× the task-slot count — with buckets == slots the
+        stage runs one task wave and the largest bucket is a straggler
+        that bounds the whole stage (measured: flat wall 8→32 cores
+        until buckets went 32→128).
     block_size: postings per compressed block (delta+varint). 128 mirrors
         the reference's upsert batch (settings.py:76) and is the classic
         block-max WAND block size.
@@ -46,7 +50,7 @@ class IndexConfig:
         (north_rule: explicit hot-term skew splitting).
     """
 
-    term_buckets: int = 32
+    term_buckets: int = 128
     block_size: int = 128
     hot_term_df_ratio: float = 0.05
     salt_factor: int = 8

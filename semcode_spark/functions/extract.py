@@ -27,17 +27,25 @@ from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
 _BODY_RE = re.compile(r"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
+_DROP_RE = re.compile(
+    r"<(script|style|nav|header|footer|aside)[^>]*>.*?</\1>",
+    re.DOTALL | re.IGNORECASE,
+)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 
 
 def extract_text_py(html: bytes | None) -> str:
-    """Single-value extraction rule (shared with the pure-Python oracle)."""
+    """Single-value extraction rule (shared with the pure-Python oracle):
+    decode errors=ignore → scope to <body> → drop boilerplate containers
+    (script/style/nav/header/footer/aside, contents included) → strip
+    remaining tags → collapse whitespace."""
     if html is None:
         return ""
     s = html.decode("utf-8", errors="ignore")
     m = _BODY_RE.search(s)
     scope = m.group(1) if m else s  # fallback: strip tags over the whole doc
+    scope = _DROP_RE.sub(" ", scope)
     return _WS_RE.sub(" ", _TAG_RE.sub(" ", scope)).strip()
 
 

@@ -97,32 +97,41 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ minhash ------
 
+def _minhash_rows(
+    docs: DataFrame, n_perm: int, n: int, text_col: str, id_col: str,
+) -> DataFrame:
+    """(doc_id, p, minh) — MinHash computed relationally: explode
+    shingles × permutations, hash, min-aggregate. Permutation p's hash
+    of shingle s = md5_long('p:' || s).
+
+    Deliberately NOT one giant array expression (16 stacked
+    transform+md5 lambdas overflow codegen and fall back to interpreted
+    evaluation, ~10× slower); the explode → partial-min hash agg shape
+    also scales: shuffle rows = docs × n_perm, not docs × shingles."""
+    sh = shingles(docs, n, text_col, id_col)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
+        "shingle",
+    ).withColumn(
+        "h",
+        md5_long_col(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle"))),
+    )
+    return hashed.groupBy("doc_id", "p").agg(F.min("h").alias("minh"))
+
+
 def minhash_signature(
     docs: DataFrame, n_perm: int = 16, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig array<long>[n_perm]) — MinHash over word shingles.
-
-    Permutation p's hash of shingle s = md5_long('p:' || s); the
-    signature element is the min over the doc's shingles. One narrow
-    pass: transform+array_min per permutation, all codegen.
-    """
-    toks = tokens_col(text_col)
-    sh = F.array_distinct(F.filter(
+    """(doc_id, sig array<long>[n_perm]) — MinHash over word shingles."""
+    mh = _minhash_rows(docs, n_perm, n, text_col, id_col)
+    return mh.groupBy("doc_id").agg(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-        lambda s: F.size(F.split(s, " ")) == n,
-    ))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            sh, lambda s, p=p: md5_long_col(F.concat(F.lit(f"{p}:"), s))
-        ))
-        for p in range(n_perm)
-    ])
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")) \
-               .filter(F.col("sig")[0].isNotNull())
+            F.array_sort(F.collect_list(F.struct("p", "minh"))),
+            lambda s: s["minh"],
+        ).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -137,17 +146,19 @@ def minhash_lsh_pairs(
     keys are uniform md5 values so it is skew-free by construction.
     """
     rows_per_band = n_perm // bands
-    sig = minhash_signature(docs, n_perm, n, text_col, id_col)
-    banded = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.md5(F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)
-            ])).alias("x")
-            for b in range(bands)
-        ])).alias("band_key"),
-    ).distinct()
+    mh = _minhash_rows(docs, n_perm, n, text_col, id_col)
+    banded = (
+        mh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "minh"))),
+                lambda s: s["minh"].cast("string"),
+            ))).alias("band_key")
+        )
+        .select("doc_id", "band_key")
+        .distinct()
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), (F.col("l.band_key") == F.col("r.band_key"))
@@ -155,10 +166,24 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n,
-                                text_col=text_col, id_col=id_col)
+    # verify ONLY the LSH candidates (never the full shingle-sharing
+    # pair space — that degenerates to ~n² when the vocabulary is small)
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("bb"), F.col("shingle").alias("sh_b"))
+    with_a = cand.join(sha, "a")
+    inter = (
+        with_a.join(shb, (with_a["b"] == shb["bb"]) & (with_a["sh_a"] == shb["sh_b"]))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        cand.join(exact, ["a", "b"])
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", fround(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

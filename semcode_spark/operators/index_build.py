@@ -148,6 +148,95 @@ def _make_encoder(block_size: int) -> Callable[[Iterator[pd.DataFrame]], Iterato
     return encode_partition
 
 
+def _make_arrow_encoder(block_size: int):
+    """mapInArrow twin of _make_encoder: operates on pyarrow
+    RecordBatches directly — the term column never materializes as
+    Python/pandas string objects (that conversion is pure allocation +
+    memory-bandwidth burn at 10^8+ postings). Strings are touched once
+    per (term, salt) *group*, numerics stay numpy views end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def encode_partition(batches):
+        carry: pa.Table | None = None
+
+        def encode_table(tbl: pa.Table):
+            term = tbl["term"].combine_chunks()
+            salt = tbl["salt"].to_numpy(zero_copy_only=False)
+            doc_id = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            tf = tbl["tf"].to_numpy(zero_copy_only=False)
+            w = tbl["w"].to_numpy(zero_copy_only=False)
+            n = len(term)
+            # group boundaries: adjacent inequality on (term, salt) —
+            # vectorized in Arrow/numpy, input is sorted
+            if n > 1:
+                neq_term = pc.invert(
+                    pc.equal(term.slice(1), term.slice(0, n - 1))
+                ).to_numpy(zero_copy_only=False)
+                neq = neq_term | (salt[1:] != salt[:-1])
+                starts = np.r_[0, np.nonzero(neq)[0] + 1]
+            else:
+                starts = np.array([0], dtype=np.int64)
+            ends = np.r_[starts[1:], n]
+            cols: dict[str, list] = {k: [] for k in (
+                "term", "salt", "block_id", "n", "doc_ids", "tfs",
+                "max_w", "sum_tf", "first_doc", "last_doc")}
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                t_str = term[s].as_py()  # one Python string per group
+                t_salt = int(salt[s])
+                for b0 in range(s, e, block_size):
+                    b1 = min(b0 + block_size, e)
+                    ids = doc_id[b0:b1]
+                    cols["term"].append(t_str)
+                    cols["salt"].append(t_salt)
+                    cols["block_id"].append((b0 - s) // block_size)
+                    cols["n"].append(b1 - b0)
+                    cols["doc_ids"].append(B.encode_doc_ids(ids.astype(np.uint64)))
+                    cols["tfs"].append(B.varint_encode(tf[b0:b1].astype(np.uint64)))
+                    cols["max_w"].append(float(w[b0:b1].max()))
+                    cols["sum_tf"].append(int(tf[b0:b1].sum()))
+                    cols["first_doc"].append(int(ids[0]))
+                    cols["last_doc"].append(int(ids[-1]))
+            return pa.RecordBatch.from_pydict({
+                "term": pa.array(cols["term"], pa.string()),
+                "salt": pa.array(cols["salt"], pa.int32()),
+                "block_id": pa.array(cols["block_id"], pa.int32()),
+                "n": pa.array(cols["n"], pa.int32()),
+                "doc_ids": pa.array(cols["doc_ids"], pa.binary()),
+                "tfs": pa.array(cols["tfs"], pa.binary()),
+                "max_w": pa.array(cols["max_w"], pa.float64()),
+                "sum_tf": pa.array(cols["sum_tf"], pa.int64()),
+                "first_doc": pa.array(cols["first_doc"], pa.int64()),
+                "last_doc": pa.array(cols["last_doc"], pa.int64()),
+            })
+
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            # hold back the trailing (term, salt) run for the next batch
+            term = tbl["term"].combine_chunks()
+            salt = tbl["salt"].to_numpy(zero_copy_only=False)
+            n = tbl.num_rows
+            last_term = term[n - 1]
+            last_salt = salt[n - 1]
+            same_tail = pc.equal(term, last_term).to_numpy(zero_copy_only=False) & (
+                salt == last_salt
+            )
+            n_tail = int(same_tail[::-1].argmin() or n)
+            carry = tbl.slice(n - n_tail)
+            head = tbl.slice(0, n - n_tail)
+            if head.num_rows:
+                yield encode_table(head)
+        if carry is not None and carry.num_rows:
+            yield encode_table(carry)
+
+    return encode_partition
+
+
 # ---------------------------------------------------------------- build ----
 
 def hot_terms(tstats: DataFrame, n_docs: int, cfg: EngineConfig = DEFAULT) -> list[str]:
@@ -189,8 +278,8 @@ def encoded_postings(
     sorted_parts = bucketed.repartition(cfg.index.term_buckets, "bucket").sortWithinPartitions(
         "term", "salt", "doc_id"
     )
-    enc = sorted_parts.select("term", "salt", "doc_id", "tf", "w").mapInPandas(
-        _make_encoder(cfg.index.block_size), schema=POSTINGS_SCHEMA
+    enc = sorted_parts.select("term", "salt", "doc_id", "tf", "w").mapInArrow(
+        _make_arrow_encoder(cfg.index.block_size), schema=POSTINGS_SCHEMA
     )
     # re-attach bucket for partition pruning at query time
     return enc.withColumn(
@@ -208,6 +297,7 @@ def build_index(
     fail_after_group: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_rows: bool = True,
 ) -> dict:
     """Build (or resume) the full index under out_dir.
 
@@ -230,6 +320,9 @@ def build_index(
     done = _completed(spark, man_dir) if resume else set()
     metrics: list[tuple] = []
 
+    # docs is scanned twice (doc_stats + tf); if it is a derived plan
+    # (e.g. html extraction), persist it for the duration of the build
+    docs = docs.persist()
     tf = term_doc_tf(docs, id_col, text_col).persist()
     try:
         if "stats" in done:
@@ -243,20 +336,22 @@ def build_index(
             t0 = time.time()
             ds = doc_stats(docs, id_col, text_col)
             ds.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-            cs = corpus_stats(ds).collect()[0]
+            # aggregate over the *written* table — avoids re-tokenizing
+            # the whole corpus for one tiny agg
+            cs = corpus_stats(
+                spark.read.parquet(os.path.join(out_dir, "docs"))
+            ).collect()[0]
             n_docs, avgdl = cs["n_docs"], cs["avgdl"]
             spark.createDataFrame(
                 [(int(n_docs), float(avgdl))], "n_docs long, avgdl double"
             ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
             ts = term_stats(tf, cfg)
             thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
-            ts.withColumn("is_hot", F.col("df") > thr).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "term_stats")
-            )
-            hot = [
-                r["term"] for r in spark.read.parquet(os.path.join(out_dir, "term_stats"))
-                .filter(F.col("is_hot")).select("term").collect()
-            ]
+            ts_flagged = ts.withColumn("is_hot", F.col("df") > thr).persist()
+            ts_flagged.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+            hot = [r["term"] for r in ts_flagged.filter(F.col("is_hot"))
+                   .select("term").collect()]
+            ts_flagged.unpersist()
             _manifest_append(spark, man_dir, "stats", -1, "completed", n_docs, time.time() - t0)
             metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
 
@@ -268,13 +363,17 @@ def build_index(
             t0 = time.time()
             part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
             part.write.mode("overwrite").parquet(os.path.join(out_dir, "postings", f"group={g}"))
-            rows = spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}")).count()
+            rows = (
+                spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}")).count()
+                if count_rows else -1
+            )
             _manifest_append(spark, man_dir, "postings", g, "completed", rows, time.time() - t0)
             metrics.append((f"postings/g{g}", rows, int((time.time() - t0) * 1000)))
             if fail_after_group is not None and g >= fail_after_group:
                 raise RuntimeError(f"injected failure after group {g}")
     finally:
         tf.unpersist()
+        docs.unpersist()
         if metrics:
             spark.createDataFrame(
                 metrics, "stage string, rows long, wall_ms long"

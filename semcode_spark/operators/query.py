@@ -159,7 +159,9 @@ def wand_topk(
     terms = list(dict.fromkeys(tokenize_query(query)))
     if not terms:
         raise ValueError("empty query")
-    corpus = index["corpus"].collect()[0]
+    if "_corpus_row" not in index:  # cache: one collect per index, not per query
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
 
     qt = spark.createDataFrame([(t,) for t in terms], "term string")
@@ -176,9 +178,14 @@ def wand_topk(
     if prune:
         cand = cand.persist()
         try:
-            # per-term global upper bound and each term's best block
-            per_term = cand.groupBy("term").agg(F.max("ub").alias("term_ub"))
-            total_ub = sum(r["term_ub"] for r in per_term.collect()) or 0.0
+            # job 1: per-term global upper bounds (blocks metadata only —
+            # never collects posting bytes, scales with #terms not #blocks)
+            per_term_rows = cand.groupBy("term").agg(
+                F.max("ub").alias("term_ub")).collect()
+            term_ubs = {r["term"]: r["term_ub"] for r in per_term_rows}
+            total_ub = sum(term_ubs.values()) or 0.0
+            # job 2: θ bootstrap — decode each term's single best block,
+            # score those docs exactly, θ = current k-th best
             best = cand.withColumn(
                 "rn",
                 F.row_number().over(
@@ -194,17 +201,20 @@ def wand_topk(
                 .collect()
             )
             theta = theta_rows[-1]["score"] if len(theta_rows) >= k else -1.0
-            # block survives if its own bound plus the other terms' global
-            # bounds could still beat θ
+            # job 3: a block survives iff its own bound plus the other
+            # terms' global bounds could still beat θ; decode survivors,
+            # exact-score, global top-k (TakeOrderedAndProject)
+            per_term = spark.createDataFrame(
+                [(t, u) for t, u in term_ubs.items()], "term string, term_ub double")
             survivors = cand.join(F.broadcast(per_term), "term").filter(
                 F.col("ub") + F.lit(total_ub) - F.col("term_ub") > F.lit(theta)
             )
-            result = (
+            rows = (
                 _score_blocks(survivors, tstats, avgdl, index["docs"], cfg)
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k)
+                .collect()
             )
-            rows = result.collect()
         finally:
             cand.unpersist()
         return spark.createDataFrame(rows, "doc_id long, score double") if rows else \

@@ -84,25 +84,51 @@ def plane_values(p: int, dim: int) -> list[int]:
 
 
 def _lsh_bucket(vec: Column, dim: int, n_planes: int) -> Column:
-    """Sign-of-dot-product bucket id over deterministic hyperplanes."""
+    """Sign-of-dot-product bucket id over deterministic hyperplanes
+    (single table, planes 0..n_planes-1 — mirrored in the DuckDB oracle)."""
+    return _lsh_bucket_planes(vec, dim, n_planes, 0)
+
+
+def _lsh_tables(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """array of per-table bucket keys: table t uses planes
+    [t*n_planes, (t+1)*n_planes); key encodes (t, bucket) in one long.
+    Multiple tables are the standard recall lever: a true neighbor
+    missed by one table's split is caught by another."""
+    return F.array(*[
+        F.lit(t << 32) + _lsh_bucket_planes(vec, dim, n_planes, t * n_planes)
+        for t in range(n_tables)
+    ])
+
+
+def _lsh_bucket_planes(vec: Column, dim: int, n_planes: int, first_plane: int) -> Column:
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in plane_values(p, dim)])
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in plane_values(first_plane + i, dim)])
         dot = _dot(vec, plane)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return bucket
 
 
 def lsh_ann_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 4,
-    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
-    qid_col: str = "query_id", qvec_col: str = "qvec",
+    dim: int = 64, n_tables: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", qid_col: str = "query_id", qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's hyperplane
-    bucket. (query_id, rank, vec_id, cosine)."""
-    vb = vectors.withColumn("bucket", _lsh_bucket(F.col(vec_col), dim, n_planes))
-    qb = queries.withColumn("bucket", _lsh_bucket(F.col(qvec_col), dim, n_planes))
-    joined = vb.join(F.broadcast(qb), "bucket")
+    """Approximate top-k: score only vectors sharing ≥1 LSH-table bucket
+    with the query. (query_id, rank, vec_id, cosine).
+
+    Candidate mass ≈ n_tables / 2^n_planes of the corpus; recall grows
+    as 1-(1-p^n_planes)^n_tables. At 10^9+ vectors this replaces the
+    brute-force crossJoin with an equi-join on bucket keys."""
+    vb = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(_lsh_tables(F.col(vec_col), dim, n_planes, n_tables)).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(qid_col), F.col(qvec_col),
+        F.explode(_lsh_tables(F.col(qvec_col), dim, n_planes, n_tables)).alias("bucket"),
+    )
+    joined = vb.join(F.broadcast(qb), "bucket").dropDuplicates([qid_col, id_col])
     scored = joined.select(
         F.col(qid_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),

@@ -41,10 +41,23 @@ def get_spark(
         # Broadcast threshold: query-term / dim tables always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all executor threads. Measured
+        # on this box: 16g heap + ParallelGC beats G1 and beats bigger
+        # heaps (48g heap made a 32-thread scan 2× slower — GC pause
+        # scaling); on a real cluster these become executor settings.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle spill to tmpfs when available (sandbox has 126G of it);
+    # on a real cluster this is the NVMe local dir per executor
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir",
+                                 os.environ.get("SPARK_LOCAL_DIRS", shm))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -18,17 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Fixed Zipf-ish vocabulary: a few hot terms (low index, high frequency)
-# and a long tail — exercises hot-term skew salting (north_rule).
-VOCAB = [
-    "data", "spark", "query", "index", "the", "page", "web", "search",
-    "term", "rank", "score", "text", "token", "crawl", "fetch", "link",
-    "table", "join", "merge", "sort", "scan", "filter", "group", "batch",
-    "stream", "shard", "block", "delta", "varint", "posting", "wand",
-    "bm25", "idf", "corpus", "doc", "stat", "hash", "salt", "skew",
-    "bucket", "lexical", "retrieval", "engine", "arrow", "pandas",
-    "kernel", "vector", "cosine", "shuffle", "partition",
-]
+# Zipf-ish vocabulary of VOCAB_SIZE synthetic terms w0..w{V-1}: low
+# indexes are hot (stopword-like, exercising skew salting), the tail is
+# rare — realistic web-scale term distribution without a word list.
+VOCAB_SIZE = 20000
 
 
 def synth_web_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
@@ -36,28 +29,23 @@ def synth_web_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFra
     (n_docs, seed). Doc lengths vary 5..~200 tokens so BM25 length
     normalization matters; term choice is Zipfian via pmod of a hashed
     counter biased toward low vocabulary indexes."""
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
-    nv = len(VOCAB)
-
     df = spark.range(n_docs).withColumnRenamed("id", "doc_seq")
     # per-doc token count: 5 + (h % 196)
     h = F.abs(F.xxhash64(F.col("doc_seq"), F.lit(seed)))
     df = df.withColumn("n_tokens", (h % 196 + 5).cast("int"))
-    # tokens: for position p, v = (h2 % (h2 % nv + 1)) — squaring the
-    # modulus biases toward small indexes → Zipf-ish hot terms.
+    # token at position p: index = h1 % (h2 % V + 1) — the nested modulus
+    # biases toward small indexes (Zipf-ish: w0/w1 are stopword-hot,
+    # the tail is rare), term = "w" + index.
     df = df.withColumn(
         "toks",
         F.transform(
             F.sequence(F.lit(0), F.col("n_tokens") - 1),
-            lambda p: F.element_at(
-                vocab,
-                (
-                    F.pmod(
-                        F.xxhash64(F.col("doc_seq"), p, F.lit(seed)),
-                        F.pmod(F.xxhash64(p, F.col("doc_seq")), F.lit(nv)) + 1,
-                    )
-                ).cast("int")
-                + 1,
+            lambda p: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("doc_seq"), p, F.lit(seed)),
+                    F.pmod(F.xxhash64(p, F.col("doc_seq")), F.lit(VOCAB_SIZE)) + 1,
+                ).cast("string"),
             ),
         ),
     )
@@ -78,17 +66,34 @@ def synth_web_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFra
             .otherwise(F.lit("en")),
         )
     )
-    # html wraps text; ~1% of rows get a lone 0xFF (invalid UTF-8) injected
-    # right after <body> — extraction must ignore it byte-identically.
-    html_str = F.format_string(
-        "<html><head><title>page %d</title></head><body><p>%s</p></body></html>",
-        F.col("doc_seq"), F.col("text"),
+    # html wraps the text in realistic web boilerplate (style/nav/script/
+    # footer — ~14 KB per page, like real Common-Crawl HTML) that the
+    # extractor must strip; ~1% of rows get a leading 0xFF (invalid
+    # UTF-8) so errors="ignore" decoding is exercised. The golden `text`
+    # column is exactly the expected extraction output.
+    style = F.repeat(
+        F.format_string(".c%d{margin:0;padding:1px;color:#1a2b3c;display:flex}",
+                        F.col("doc_seq")), 80)
+    nav = F.repeat(
+        F.format_string("<a href=\"/s%d/p\">section</a><span>|</span>",
+                        F.col("doc_seq")), 40)
+    script = F.repeat(
+        F.format_string("var x%d=[1,2,3];function f(a){return a*%d+1;}",
+                        F.col("doc_seq"), F.pmod(F.col("doc_seq"), F.lit(97))), 160)
+    html_str = F.concat(
+        F.format_string("<html><head><title>page %d</title><style>", F.col("doc_seq")),
+        style,
+        F.lit("</style></head><body><nav>"),
+        nav,
+        F.lit("</nav><article><p>"),
+        F.col("text"),
+        F.lit("</p></article><script>"),
+        script,
+        F.format_string("</script><footer>site %d</footer></body></html>",
+                        F.col("doc_seq")),
     )
     good = F.encode(html_str, "UTF-8")
-    head = F.encode(F.format_string(
-        "<html><head><title>page %d</title></head><body>", F.col("doc_seq")), "UTF-8")
-    tail = F.encode(F.format_string("<p>%s</p></body></html>", F.col("text")), "UTF-8")
-    bad = F.concat(head, F.unhex(F.lit("FF")), tail)
+    bad = F.concat(F.unhex(F.lit("FF")), good)
     df = df.withColumn(
         "html",
         F.when(F.pmod(F.xxhash64("doc_seq", F.lit(seed + 1)), F.lit(100)) == 0, bad)

@@ -33,12 +33,10 @@ def test_extraction_byte_identical(spark):
     )
     assert mismatch == 0
     # the corpus really does contain invalid-UTF-8 rows (the interesting case)
-    n_bad = pages.filter(F.col("html") != F.encode(
-        F.format_string(
-            "<html><head><title>page %d</title></head><body><p>%s</p></body></html>",
-            F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long"), F.col("text"),
-        ), "UTF-8")).count()
+    n_bad = pages.filter(F.hex(F.substring("html", 1, 1)) == "FF").count()
     assert n_bad > 0
+    # and realistic boilerplate that extraction must strip
+    assert pages.select(F.avg(F.length("html"))).collect()[0][0] > 10000
 
 
 def test_extract_py_fallback_and_null():

@@ -1,0 +1,66 @@
+"""Physical-plan quality gates — the 100 TB questions asked of every
+operator (would this plan survive a 100× scale-up?):
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- small sides broadcast (no sort-merge join for query terms / dims)
+- the BM25 query path has no wide shuffle beyond the final agg
+- tokenization stays inside WholeStageCodegen (no Python in hot path)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semcode_spark.operators.query import bm25_scores
+from semcode_spark.operators.index_build import term_doc_tf
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    q = df.filter(F.col("l_quantity") < 30).select("l_orderkey", "l_quantity")
+    s = formatted(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,30.0)]" in s
+    # column pruning: scan must read only the 2 projected columns
+    assert "l_extendedprice" not in s.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_bm25_query_uses_broadcast_join(spark, documents):
+    q = bm25_scores(documents, ["spark", "query"])
+    s = plan(q)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_bm25_topk_plan_is_take_ordered(spark, documents):
+    from semcode_spark.operators.query import bm25_topk
+    q = bm25_topk(documents, "spark query", k=10)
+    assert "TakeOrderedAndProject" in plan(q)
+
+
+def test_tokenize_stays_jvm_side_with_partial_agg(spark, documents):
+    tf = term_doc_tf(documents)
+    s = plan(tf)
+    assert "BatchEvalPython" not in s      # no row-at-a-time Python
+    assert "ArrowEvalPython" not in s      # tokenize needs no Python at all
+    assert "partial_count" in s            # map-side combine before the shuffle
+    assert s.count("Exchange") == 1        # exactly one shuffle for tf
+
+
+def test_dim_join_broadcasts(spark):
+    n = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    q = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    assert "BroadcastHashJoin" in plan(q)

@@ -1,0 +1,63 @@
+"""Streaming micro-batch paths + multimodal Arrow plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from semcode_spark.operators import multimodal as M
+from semcode_spark.operators.index_build import term_doc_tf
+from semcode_spark.streaming.incremental import (
+    incremental_index, streaming_event_stats, windowed_event_stats,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    got = streaming_event_stats(
+        spark, os.path.join(SF_DIR, "events.parquet"), str(tmp_path / "ckpt"))
+    want = windowed_event_stats(
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_incremental_index_exactly_once(spark, tmp_path, documents):
+    """availableNow micro-batch build over the same files twice: second
+    run adds nothing (checkpoint), and the flat postings equal batch tf."""
+    src = str(tmp_path / "docs_src")
+    documents.write.parquet(src)
+    out = str(tmp_path / "inc_index")
+    incremental_index(spark, src, out)
+    n1 = spark.read.parquet(os.path.join(out, "postings_flat")).count()
+    incremental_index(spark, src, out)  # rerun: no new files → no new rows
+    n2 = spark.read.parquet(os.path.join(out, "postings_flat")).count()
+    assert n1 == n2
+    want = term_doc_tf(documents).count()
+    assert n1 == want
+
+
+def test_media_meta_roundtrip(spark):
+    media = M.synth_media(spark, 100)
+    meta = M.decode_media_meta(media)
+    bad = meta.join(media, "media_id").filter(
+        (F.col("dec_width") != F.col("width"))
+        | (F.col("dec_height") != F.col("height"))).count()
+    assert bad == 0
+    assert meta.count() == 100
+
+
+def test_media_features_shape(spark):
+    media = M.synth_media(spark, 50)
+    rows = M.extract_features(media).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == M.FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_decode_image_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(M.synth_media(spark, 1))

@@ -185,6 +185,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id").distinct())
     q["phrase_match"] = q_phrase
 
+    def q_snippets(spark, sf):
+        # hit → document projection + snippet truncation (reference
+        # rag/pipeline.py:133-169 _hit_to_document + :196-197 truncation)
+        docs = load_table(spark, sf, "documents")
+        top = _bm25_spark(spark, sf, BM25_QUERY, K)
+        return (top.join(docs, "doc_id")
+                .select("doc_id", "score", "lang",
+                        F.substring("text", 1, 100).alias("snippet")))
+    q["topk_with_snippets"] = q_snippets
+
+    def q_postfilter(spark, sf):
+        # result post-filter by language (reference frontend/app.py:100-116)
+        docs = load_table(spark, sf, "documents")
+        top = _bm25_spark(spark, sf, BM25_QUERY, K)
+        return (top.join(docs, "doc_id")
+                .filter(F.col("lang").isin("en", "de"))
+                .select("doc_id", "score", "lang"))
+    q["result_postfilter"] = q_postfilter
+
+    def q_langs(spark, sf):
+        # distinct + sort for filter options (reference frontend/app.py:184-187)
+        docs = load_table(spark, sf, "documents")
+        return (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy("lang"))
+    q["distinct_langs"] = q_langs
+
     # --- relational operator coverage (SURVEY §2.1-2.2, 2.5-2.8) ---
     def q_q1(spark, sf):
         li = load_table(spark, sf, "lineitem")
@@ -406,6 +432,22 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
         "'[^a-z0-9]+'), x -> x <> '') AS l FROM documents) _d) _s) "
         f"SELECT DISTINCT doc_id FROM sh2 WHERE shingle = '{PHRASE}'"
+    )
+
+    _bm25_cte = _bm25_sql(BM25_QUERY, K).strip()
+    o["topk_with_snippets"] = f"""
+WITH topk AS ({_bm25_cte})
+SELECT topk.doc_id AS doc_id, score, lang, substr(text, 1, 100) AS snippet
+FROM topk JOIN documents ON topk.doc_id = documents.doc_id
+"""
+    o["result_postfilter"] = f"""
+WITH topk AS ({_bm25_cte})
+SELECT topk.doc_id AS doc_id, score, lang
+FROM topk JOIN documents ON topk.doc_id = documents.doc_id
+WHERE lang IN ('en', 'de')
+"""
+    o["distinct_langs"] = (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
     )
 
     o["q1_pricing_summary"] = f"""

@@ -27,6 +27,12 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     default_k: int = 10  # reference default top_k (storage/milvus_store.py:135)
+    # ranking compares scores rounded to this many decimals (then doc_id):
+    # float sums over query terms are order-dependent at the ulp level
+    # across implementations (engine hash agg vs oracle's sorted-term
+    # sum), so raw-float ordering is not reproducible — rounded ordering
+    # is (SURVEY §7.3 hard part c)
+    rank_decimals: int = 9
 
 
 @dataclass(frozen=True)

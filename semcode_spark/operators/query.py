@@ -104,7 +104,8 @@ def bm25_topk(
         raise ValueError("empty query")  # reference validates the same (api/main.py:203-206)
     scores = bm25_scores(docs, terms, cfg, id_col, text_col)
     return (
-        scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        scores.orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                       F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", "score")
     )
@@ -196,7 +197,8 @@ def wand_topk(
             ).filter(F.col("rn") == 1).drop("rn")
             theta_rows = (
                 _score_blocks(best, tstats, avgdl, index["docs"], cfg)
-                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                         F.col("doc_id").asc())
                 .limit(k)
                 .collect()
             )
@@ -211,7 +213,8 @@ def wand_topk(
             )
             rows = (
                 _score_blocks(survivors, tstats, avgdl, index["docs"], cfg)
-                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                         F.col("doc_id").asc())
                 .limit(k)
                 .collect()
             )
@@ -222,8 +225,71 @@ def wand_topk(
 
     return (
         _score_blocks(cand, tstats, avgdl, index["docs"], cfg)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    queries: list[tuple[int, str, int]],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Batched top-k over the block index: (query_id, rank, doc_id, score)
+    for every (query_id, text, k) — the throughput-oriented retrieval
+    path (amortizes Spark's per-job floor across the whole query set).
+
+    Plan: one decode pass over the blocks of the UNION of query terms →
+    broadcast (query, term) map join → per-(query, doc) score agg →
+    per-query window top-k. Single logical job; scales with the size of
+    the touched postings, never the corpus.
+    """
+    if "_corpus_row" not in index:
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+
+    qt_rows, k_rows = [], []
+    for qid, text, k in queries:
+        k_rows.append((qid, k))
+        for t in dict.fromkeys(tokenize_query(text)):
+            qt_rows.append((qid, t))
+    if not qt_rows:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+    qterms = spark.createDataFrame(qt_rows, "query_id long, term string")
+    ks = spark.createDataFrame(k_rows, "query_id long, k int")
+    terms = qterms.select("term").distinct()
+
+    tstats = (
+        index["term_stats"].join(F.broadcast(terms), "term")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .select("term", "idf")
+    )
+    blocks_df = index["postings"].join(F.broadcast(terms), "term")
+    postings = blocks_df.select("term", "doc_ids", "tfs").mapInPandas(
+        _decode_blocks, schema="term string, doc_id long, tf double"
+    )
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    )
+    scored = (
+        postings.join(F.broadcast(tstats), "term")
+        .join(index["docs"], "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * w).alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.round("score", cfg.bm25.rank_decimals).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .join(F.broadcast(ks), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 

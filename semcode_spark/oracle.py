@@ -56,5 +56,6 @@ class BM25Oracle:
             for d in self.tf
             if any(t in self.tf[d] for t in terms)
         ]
-        scored.sort(key=lambda x: (-x[1], x[0]))
+        nd = self.cfg.bm25.rank_decimals
+        scored.sort(key=lambda x: (-round(x[1], nd), x[0]))
         return scored[:k]

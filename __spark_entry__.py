@@ -388,6 +388,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
     q["streaming_event_stats"] = q_stream
 
+    def q_stateful(spark, sf):
+        # custom stateful operator (applyInPandasWithState): latest
+        # running snapshot per event_type == batch aggregate
+        import tempfile as _tf
+        import uuid
+        from pyspark.sql.window import Window
+        from semcode_spark.streaming.stateful import running_event_stats
+        with _tf.TemporaryDirectory() as ckpt:
+            snaps = running_event_stats(
+                spark, os.path.join(sf, "events.parquet"), ckpt,
+                query_name=f"res_{uuid.uuid4().hex[:8]}")
+            w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+            latest = (snaps.withColumn("rn", F.row_number().over(w))
+                      .filter("rn = 1"))
+            return spark.createDataFrame(
+                latest.select(
+                    "event_type", F.col("n").cast("long").alias("n"),
+                    F.col("n_high").cast("long").alias("n_high"),
+                    fround(F.col("total_value"), 4).alias("total_value"),
+                    F.unix_timestamp("last_ts").cast("long").alias("last_ts"),
+                ).collect(),
+                "event_type string, n long, n_high long, total_value double, last_ts long",
+            )
+    q["stateful_running_stats"] = q_stateful
+
     return q
 
 
@@ -501,6 +526,13 @@ FROM events GROUP BY 1, 2
 """
     o["windowed_event_stats"] = winagg
     o["streaming_event_stats"] = winagg  # exactly-once stream == batch agg
+    o["stateful_running_stats"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       {fround_sql('sum(value)', 4)} AS total_value,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+FROM events GROUP BY 1
+"""
 
     # --- dedup ---
     norm = ("array_to_string(list_filter(regexp_split_to_array(lower(text), "

@@ -49,6 +49,11 @@ POSTINGS_SCHEMA = (
     "doc_ids binary, tfs binary, max_w double, sum_tf long, "
     "first_doc long, last_doc long"
 )
+# blocks also carry avgdl_enc (the corpus avgdl at encode time, added as
+# a literal column after the kernel): when later segments shift the
+# corpus avgdl upward, per-posting weights grow by at most
+# avgdl_now/avgdl_enc, so the WAND block bound stays valid as
+# max_w · max(1, avgdl_now/avgdl_enc) — see operators/segments.py.
 
 
 # ---------------------------------------------------------------- stats ----
@@ -281,10 +286,11 @@ def encoded_postings(
     enc = sorted_parts.select("term", "salt", "doc_id", "tf", "w").mapInArrow(
         _make_arrow_encoder(cfg.index.block_size), schema=POSTINGS_SCHEMA
     )
-    # re-attach bucket for partition pruning at query time
+    # re-attach bucket for partition pruning at query time; stamp the
+    # avgdl the weights were computed with (segment-merge bound support)
     return enc.withColumn(
         "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(cfg.index.term_buckets)).cast("int")
-    )
+    ).withColumn("avgdl_enc", F.lit(float(avgdl)))
 
 
 def build_index(
@@ -406,9 +412,23 @@ def _completed(spark: SparkSession, man_dir: str) -> set[str]:
 
 
 def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Open an index. Stats tables are append-only across incremental
+    segments (operators/segments.py), so they aggregate on read: df/cf
+    sum per term; corpus stats merge weighted by n_docs."""
+    corpus_raw = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    corpus = corpus_raw.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
+    )
+    term_stats_raw = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    term_stats_agg = term_stats_raw.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+        F.max("is_hot").alias("is_hot"),  # salted in ≥1 segment
+    )
     return {
         "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
-        "corpus": spark.read.parquet(os.path.join(out_dir, "corpus")),
-        "term_stats": spark.read.parquet(os.path.join(out_dir, "term_stats")),
+        "corpus": corpus,
+        "term_stats": term_stats_agg,
         "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
+        "_dir": out_dir,
     }

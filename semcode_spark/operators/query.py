@@ -172,8 +172,16 @@ def wand_topk(
         .select("term", "idf")
     )
     cand = index["postings"].join(F.broadcast(qt), "term")
+    # block bound: idf · max_w, inflated by avgdl_now/avgdl_enc when the
+    # corpus avgdl has grown since the block was encoded (per-posting
+    # weights grow by at most that ratio — keeps pruning lossless across
+    # incremental segments, operators/segments.py)
+    adl_corr = (
+        F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
+        if "avgdl_enc" in index["postings"].columns else F.lit(1.0)
+    )
     cand = cand.join(F.broadcast(tstats), "term").withColumn(
-        "ub", F.col("idf") * F.col("max_w")
+        "ub", F.col("idf") * F.col("max_w") * adl_corr
     )
 
     if prune:

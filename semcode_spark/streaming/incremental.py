@@ -27,26 +27,33 @@ from semcode_spark.operators.index_build import term_doc_tf
 def incremental_index(
     spark: SparkSession,
     docs_dir: str,
-    out_dir: str,
+    index_dir: str,
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    max_files_per_trigger: int = 4,
 ) -> None:
-    """Index every document file under docs_dir exactly once, appending
-    tf postings per micro-batch. Restart-safe via the checkpoint dir:
-    already-processed files are never re-indexed."""
+    """Maintain a full block index from a document stream: every
+    micro-batch becomes one LSM-style segment (operators/segments.py) —
+    postings group + appended stats + manifest row. Exactly-once via the
+    stream checkpoint; restart never re-indexes processed files; queries
+    against the index are rank-identical to a from-scratch batch build
+    (tests/test_streaming_multimodal.py). This is the streaming form of
+    the reference's resumable async ingestion (api/main.py:246-325)."""
+    from semcode_spark.operators.segments import add_segment
+
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(docs_dir)
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tf = term_doc_tf(batch_df)
-        (tf.withColumn("batch_id", F.lit(batch_id))
-           .write.mode("append").parquet(os.path.join(out_dir, "postings_flat")))
+        if batch_df.isEmpty():
+            return
+        add_segment(batch_df.sparkSession, index_dir, batch_df)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .option("checkpointLocation", os.path.join(index_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,78 @@
+"""Segment-based incremental indexing: add_segment == full rebuild,
+WAND stays lossless across avgdl drift, compaction preserves answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
+from semcode_spark.operators.index_build import build_index, read_index
+from semcode_spark.operators.query import bm25_topk, bm25_topk_batch, wand_topk
+from semcode_spark.operators.segments import add_segment, compact_segments
+
+CFG = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=8, block_size=16))
+QUERIES = [(0, "spark query data", 10), (1, "dup merge", 10), (2, "the", 5)]
+
+
+@pytest.fixture()
+def split_corpus(documents):
+    # first 350 docs at build time, remaining 150 arrive later (longer
+    # docs in either half shift avgdl → exercises the bound correction)
+    base = documents.filter("doc_id < 350")
+    extra = documents.filter("doc_id >= 350")
+    return base, extra
+
+
+def _run(spark, index, cfg=CFG):
+    rows = bm25_topk_batch(spark, index, QUERIES, cfg=cfg).collect()
+    return sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                  for r in rows)
+
+
+def test_segment_add_equals_full_rebuild(spark, documents, split_corpus, tmp_path):
+    base, extra = split_corpus
+    inc_dir = str(tmp_path / "inc")
+    build_index(spark, base, inc_dir, cfg=CFG, groups=2, count_rows=False)
+    seg = add_segment(spark, inc_dir, extra, cfg=CFG)
+    assert seg["n_docs"] == extra.count()
+    assert seg["group"] >= 2  # appended after the base groups
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, documents, full_dir, cfg=CFG, groups=1, count_rows=False)
+
+    inc, full = read_index(spark, inc_dir), read_index(spark, full_dir)
+    assert _run(spark, inc) == _run(spark, full)
+    # aggregated stats equal the from-scratch stats
+    a = inc["corpus"].collect()[0]
+    b = full["corpus"].collect()[0]
+    assert a["n_docs"] == b["n_docs"]
+    assert a["avgdl"] == pytest.approx(b["avgdl"], rel=1e-12)
+
+
+def test_wand_lossless_after_segment(spark, documents, split_corpus, tmp_path):
+    base, extra = split_corpus
+    d = str(tmp_path / "inc2")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    add_segment(spark, d, extra, cfg=CFG)
+    idx = read_index(spark, d)
+    for _, q, k in QUERIES:
+        got = wand_topk(spark, idx, q, k=k, cfg=CFG).collect()
+        want = bm25_topk(documents, q, k=k, cfg=CFG).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_compaction_preserves_answers(spark, split_corpus, tmp_path):
+    base, extra = split_corpus
+    d = str(tmp_path / "inc3")
+    build_index(spark, base, d, cfg=CFG, groups=2, count_rows=False)
+    add_segment(spark, d, extra, cfg=CFG)
+    before = _run(spark, read_index(spark, d))
+    compact_segments(spark, d, cfg=CFG)
+    idx = read_index(spark, d)
+    assert _run(spark, idx) == before
+    # compacted layout is a single group again
+    assert idx["postings"].select("group").distinct().count() == 1
+    # manifest records the compaction
+    man = spark.read.parquet(d + "/manifest")
+    assert man.filter("stage = 'compaction'").count() == 1

@@ -24,19 +24,28 @@ def test_streaming_equals_batch(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
-def test_incremental_index_exactly_once(spark, tmp_path, documents):
-    """availableNow micro-batch build over the same files twice: second
-    run adds nothing (checkpoint), and the flat postings equal batch tf."""
+def test_incremental_index_exactly_once_and_rank_identical(spark, tmp_path, documents):
+    """availableNow stream builds the index segment-per-micro-batch;
+    a rerun adds nothing (checkpoint); queries match a batch build."""
+    from semcode_spark.operators.index_build import build_index, read_index
+    from semcode_spark.operators.query import bm25_topk_batch
+
     src = str(tmp_path / "docs_src")
-    documents.write.parquet(src)
+    documents.repartition(6).write.parquet(src)  # several files → several batches
     out = str(tmp_path / "inc_index")
-    incremental_index(spark, src, out)
-    n1 = spark.read.parquet(os.path.join(out, "postings_flat")).count()
-    incremental_index(spark, src, out)  # rerun: no new files → no new rows
-    n2 = spark.read.parquet(os.path.join(out, "postings_flat")).count()
-    assert n1 == n2
-    want = term_doc_tf(documents).count()
-    assert n1 == want
+    incremental_index(spark, src, out, max_files_per_trigger=2)
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    n_seg = man.filter("stage = 'segment'").count()
+    assert n_seg >= 2  # really was incremental
+    incremental_index(spark, src, out, max_files_per_trigger=2)  # no new files
+    assert spark.read.parquet(os.path.join(out, "manifest")).count() == man.count()
+
+    full = str(tmp_path / "full_index")
+    build_index(spark, documents, full, groups=1, count_rows=False)
+    queries = [(0, "spark query data", 10), (1, "dup", 10)]
+    a = sorted(map(tuple, bm25_topk_batch(spark, read_index(spark, out), queries).collect()))
+    b = sorted(map(tuple, bm25_topk_batch(spark, read_index(spark, full), queries).collect()))
+    assert [x[:3] for x in a] == [x[:3] for x in b]
 
 
 def test_media_meta_roundtrip(spark):

@@ -211,6 +211,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang"))
     q["distinct_langs"] = q_langs
 
+    def q_glob(spark, sf):
+        # glob-style NOT-LIKE ignore predicate (reference ignore globs,
+        # ingestion/manager.py:24-44,117-122 → rlike)
+        docs = load_table(spark, sf, "documents")
+        return (docs.filter(~F.col("source").rlike("^src[0-4]$"))
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                )
+    q["glob_ignore_filter"] = q_glob
+
+    def q_set_agg(spark, sf):
+        # distinct-set aggregation (reference language detection,
+        # ingestion/manager.py:215-231 → collect_set); emitted as a
+        # sorted csv string for cross-engine hashing
+        docs = load_table(spark, sf, "documents")
+        return docs.groupBy("source").agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    q["langs_per_source"] = q_set_agg
+
     # --- relational operator coverage (SURVEY §2.1-2.2, 2.5-2.8) ---
     def q_q1(spark, sf):
         li = load_table(spark, sf, "lineitem")
@@ -473,6 +493,14 @@ WHERE lang IN ('en', 'de')
 """
     o["distinct_langs"] = (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
+    )
+    o["glob_ignore_filter"] = (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents "
+        "WHERE NOT regexp_matches(source, '^src[0-4]$') GROUP BY 1"
+    )
+    o["langs_per_source"] = (
+        "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents GROUP BY 1"
     )
 
     o["q1_pricing_summary"] = f"""

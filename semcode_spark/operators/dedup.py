@@ -108,7 +108,10 @@ def _minhash_rows(
     transform+md5 lambdas overflow codegen and fall back to interpreted
     evaluation, ~10× slower); the explode → partial-min hash agg shape
     also scales: shuffle rows = docs × n_perm, not docs × shingles."""
-    sh = shingles(docs, n, text_col, id_col)
+    return _minhash_rows_from(shingles(docs, n, text_col, id_col), n_perm)
+
+
+def _minhash_rows_from(sh: DataFrame, n_perm: int) -> DataFrame:
     hashed = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
@@ -146,7 +149,9 @@ def minhash_lsh_pairs(
     keys are uniform md5 values so it is skew-free by construction.
     """
     rows_per_band = n_perm // bands
-    mh = _minhash_rows(docs, n_perm, n, text_col, id_col)
+    # the shingle relation feeds minhashing AND the verify stage — cache it
+    sh_cached = shingles(docs, n, text_col, id_col).persist()
+    mh = _minhash_rows_from(sh_cached, n_perm)
     banded = (
         mh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -167,8 +172,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify ONLY the LSH candidates (never the full shingle-sharing
-    # pair space — that degenerates to ~n² when the vocabulary is small)
-    sh = shingles(docs, n, text_col, id_col)
+    # pair space — that degenerates to ~n² when the vocabulary is small);
+    # sh_cached is unpersisted lazily by Spark's LRU once the query ends
+    sh = sh_cached
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("bb"), F.col("shingle").alias("sh_b"))

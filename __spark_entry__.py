@@ -94,13 +94,15 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFra
 
 
 _INDEX_CACHE: dict[str, str] = {}
+_INDEX_LAYOUT_VERSION = "v3"  # bump on postings/stats schema changes
 
 
 def _cached_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = sf_dir.rstrip("/")
     if key not in _INDEX_CACHE:
         out = os.path.join(
-            tempfile.gettempdir(), "semcode_index_" + key.replace("/", "_")
+            tempfile.gettempdir(),
+            f"semcode_index_{_INDEX_LAYOUT_VERSION}_" + key.replace("/", "_"),
         )
         cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=16))
         if not os.path.exists(os.path.join(out, "corpus")):

@@ -90,6 +90,17 @@ def main() -> None:
     idx = read_index(spark, idx_dir)
     timed("wand_topk", lambda: wand_topk(spark, idx, "spark query data", k=10).collect())
 
+    # serving mode: cached/materialized index, warm queries (the fair
+    # analog of the reference's long-lived service + loaded collection)
+    hot_idx = read_index(spark, idx_dir, cache=True)
+    wand_topk(spark, hot_idx, "window merge", k=10).collect()  # warm-up
+    t0 = time.time()
+    n_warm = 5
+    for i in range(n_warm):
+        wand_topk(spark, hot_idx, ["spark query data", "dup merge", "the",
+                                   "table scan", "sort batch"][i], k=10).collect()
+    extras["wand_warm_sec_per_query"] = round((time.time() - t0) / n_warm, 4)
+
     # batched retrieval: the whole 24-query reference set in one job —
     # the throughput-oriented path (amortizes the per-job floor)
     from semcode_spark.fixtures.queries import REFERENCE_QUERIES

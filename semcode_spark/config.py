@@ -27,6 +27,10 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     default_k: int = 10  # reference default top_k (storage/milvus_store.py:135)
+    # below this many candidate blocks, WAND's θ-bootstrap + pruning
+    # costs more than just decoding everything (2 extra Spark jobs);
+    # prune="auto" compares against this (the nprobe-vs-flat decision)
+    prune_min_blocks: int = 20000
     # ranking compares scores rounded to this many decimals (then doc_id):
     # float sums over query terms are order-dependent at the ulp level
     # across implementations (engine hash agg vs oracle's sorted-term

@@ -348,6 +348,8 @@ def build_index(
                 spark.read.parquet(os.path.join(out_dir, "docs"))
             ).collect()[0]
             n_docs, avgdl = cs["n_docs"], cs["avgdl"]
+            if not n_docs:
+                raise ValueError("cannot build an index over an empty corpus")
             spark.createDataFrame(
                 [(int(n_docs), float(avgdl))], "n_docs long, avgdl double"
             ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
@@ -411,10 +413,16 @@ def _completed(spark: SparkSession, man_dir: str) -> set[str]:
     return out
 
 
-def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+def read_index(spark: SparkSession, out_dir: str, cache: bool = False) -> dict[str, DataFrame]:
     """Open an index. Stats tables are append-only across incremental
     segments (operators/segments.py), so they aggregate on read: df/cf
-    sum per term; corpus stats merge weighted by n_docs."""
+    sum per term; corpus stats merge weighted by n_docs.
+
+    cache=True is serving mode (the analog of the reference's long-lived
+    service process with Milvus's collection loaded to memory,
+    storage/milvus_store.py:83-85): postings/docs/term_stats are
+    persisted and materialized so repeated queries skip the parquet
+    scan. On a cluster this is executor block-manager memory."""
     corpus_raw = spark.read.parquet(os.path.join(out_dir, "corpus"))
     corpus = corpus_raw.agg(
         F.sum("n_docs").alias("n_docs"),
@@ -425,10 +433,16 @@ def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         F.sum("df").alias("df"), F.sum("cf").alias("cf"),
         F.max("is_hot").alias("is_hot"),  # salted in ≥1 segment
     )
-    return {
+    idx = {
         "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
         "corpus": corpus,
         "term_stats": term_stats_agg,
         "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
         "_dir": out_dir,
     }
+    if cache:
+        for name in ("docs", "term_stats", "postings"):
+            idx[name] = idx[name].persist()
+            idx[name].count()  # materialize now, not on first query
+        idx["_corpus_row"] = idx["corpus"].collect()[0]
+    return idx

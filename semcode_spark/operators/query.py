@@ -141,7 +141,7 @@ def wand_topk(
     query: str,
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
-    prune: bool = True,
+    prune: bool | str = "auto",
 ) -> DataFrame:
     """Top-k over the persisted block index with block-max pruning.
 
@@ -190,9 +190,26 @@ def wand_topk(
             # job 1: per-term global upper bounds (blocks metadata only —
             # never collects posting bytes, scales with #terms not #blocks)
             per_term_rows = cand.groupBy("term").agg(
-                F.max("ub").alias("term_ub")).collect()
+                F.max("ub").alias("term_ub"),
+                F.count(F.lit(1)).alias("n_blocks")).collect()
             term_ubs = {r["term"]: r["term_ub"] for r in per_term_rows}
             total_ub = sum(term_ubs.values()) or 0.0
+            n_blocks = sum(r["n_blocks"] for r in per_term_rows)
+            if prune == "auto" and n_blocks <= cfg.bm25.prune_min_blocks:
+                # candidate set is small: θ-bootstrap + pruning would cost
+                # two extra jobs for nothing — decode everything directly
+                # (the flat-scan side of the nprobe-vs-flat decision,
+                # reference milvus_store.py:144)
+                rows = (
+                    _score_blocks(cand, tstats, avgdl, index["docs"], cfg)
+                    .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                             F.col("doc_id").asc())
+                    .limit(k)
+                    .collect()
+                )
+                return spark.createDataFrame(
+                    rows, "doc_id long, score double") if rows else \
+                    spark.createDataFrame([], "doc_id long, score double")
             # job 2: θ bootstrap — decode each term's single best block,
             # score those docs exactly, θ = current k-th best
             best = cand.withColumn(

@@ -24,10 +24,18 @@ def index(spark, documents, tmp_path_factory):
 @pytest.mark.parametrize("query", QUERIES)
 def test_wand_equals_exhaustive(spark, documents, index, query):
     want = bm25_topk(documents, query, k=10).collect()
-    got = wand_topk(spark, index, query, k=10).collect()
+    # prune=True forces the θ-bootstrap + block-pruning path
+    got = wand_topk(spark, index, query, k=10, prune=True).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+@pytest.mark.parametrize("query", ["spark query data"])
+def test_wand_auto_matches_forced(spark, index, query):
+    a = wand_topk(spark, index, query, k=10, prune="auto").collect()
+    b = wand_topk(spark, index, query, k=10, prune=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
 
 
 @pytest.mark.parametrize("query", ["the", "spark query data"])

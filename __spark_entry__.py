@@ -306,6 +306,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ev.union(c).distinct()
     q["union_distinct"] = q_union
 
+    def q_json(spark, sf):
+        # JSON escape-hatch column (reference metadata JSON,
+        # storage/milvus_store.py:71; registry to/from_json)
+        ev = load_table(spark, sf, "events")
+        return (ev.withColumn("kval", F.get_json_object("props", "$.k").cast("long"))
+                .groupBy("event_type")
+                .agg(F.sum("kval").cast("long").alias("sum_k"),
+                     F.count(F.when(F.col("kval") > 50, 1)).alias("n_high_k")))
+    q["json_extract_agg"] = q_json
+
     def q_winagg(spark, sf):
         from semcode_spark.streaming.incremental import windowed_event_stats
         ev = load_table(spark, sf, "events")
@@ -548,6 +558,13 @@ FROM events GROUP BY 1
         "SELECT event_type AS val FROM events UNION "
         "SELECT c_mktsegment AS val FROM customer"
     )
+    o["json_extract_agg"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                       THEN 1 END) AS BIGINT) AS n_high_k
+FROM events GROUP BY 1
+"""
     winagg = f"""
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
        event_type, CAST(count(*) AS BIGINT) AS n,

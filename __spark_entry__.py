@@ -606,10 +606,13 @@ jacc AS (SELECT a, b,
         f"WITH {SHINGLES}, {jac} SELECT a, b, jaccard FROM jacc "
         f"WHERE jaccard >= {JACCARD_T}"
     )
-    band_h = MD5L.format(expr="p.p || ':' || shingle")
+    # Carter-Wegman permutations over one md5 (dedup._minhash_rows_from):
+    # h1 = digest nibbles 1-15, h2 = nibbles 16-29 mod 2^55, hash_p = h1 + p*h2
+    h1 = MD5L.format(expr="shingle")
+    h2 = ("(('0x' || substr(md5(shingle), 16, 14))::BIGINT % " + str(1 << 55) + ")")
     o["dedup_minhash_lsh"] = f"""
 WITH {SHINGLES}, {jac},
-mh AS (SELECT doc_id, p.p AS p, min({band_h}) AS minh
+mh AS (SELECT doc_id, p.p AS p, min({h1} + p.p * {h2}) AS minh
        FROM sh, generate_series(0, 15) p(p) GROUP BY 1, 2),
 bands AS (SELECT DISTINCT doc_id, (p // 4) AS band,
           md5(string_agg(minh::VARCHAR, ',' ORDER BY p)) AS band_key

@@ -112,13 +112,23 @@ def _minhash_rows(
 
 
 def _minhash_rows_from(sh: DataFrame, n_perm: int) -> DataFrame:
-    hashed = sh.select(
+    """Carter-Wegman permutations over ONE md5 per shingle: the digest's
+    nibbles 1-15 give h1 (60 bits) and 16-29 give h2 (taken mod 2^55);
+    permutation p's hash is h1 + p·h2 — for p ≤ 63 this stays under
+    2^61, so the arithmetic is overflow-free in both Spark (wrapping
+    longs never trip) and DuckDB (which *errors* on bigint overflow) —
+    md5 work drops 16× vs hashing 'p:shingle' per permutation."""
+    base = sh.select(
         "doc_id",
+        md5_long_col(F.col("shingle")).alias("h1"),
+        (F.conv(F.substring(F.md5(F.col("shingle")), 16, 14), 16, 10).cast("long")
+         % F.lit(1 << 55)).alias("h2"),
+    )
+    hashed = base.select(
+        "doc_id", "h1", "h2",
         F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
-        "shingle",
-    ).withColumn(
-        "h",
-        md5_long_col(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle"))),
+    ).select(
+        "doc_id", "p", (F.col("h1") + F.col("p") * F.col("h2")).alias("h")
     )
     return hashed.groupBy("doc_id", "p").agg(F.min("h").alias("minh"))
 

@@ -94,7 +94,27 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFra
 
 
 _INDEX_CACHE: dict[str, str] = {}
-_INDEX_LAYOUT_VERSION = "v3"  # bump on postings/stats schema changes
+_INDEX_LAYOUT_VERSION = "v4"  # bump on postings/stats schema changes
+
+
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Cheap content key for the documents table (file names + sizes +
+    mtimes) so a persistent temp-dir index is never served against
+    changed testdata."""
+    import hashlib
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dp, _, fns in sorted(os.walk(root)):
+            for fn in sorted(fns):
+                st = os.stat(os.path.join(dp, fn))
+                parts.append(f"{os.path.relpath(os.path.join(dp, fn), root)}:"
+                             f"{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"file:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def _cached_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -102,7 +122,8 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key not in _INDEX_CACHE:
         out = os.path.join(
             tempfile.gettempdir(),
-            f"semcode_index_{_INDEX_LAYOUT_VERSION}_" + key.replace("/", "_"),
+            f"semcode_index_{_INDEX_LAYOUT_VERSION}_{_docs_fingerprint(key)}_"
+            + key.replace("/", "_"),
         )
         cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=16))
         if not os.path.exists(os.path.join(out, "corpus")):
@@ -141,6 +162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", fround(F.col("score"), 4).alias("score")
         ).orderBy(F.col("score").desc(), "doc_id")
     q["wand_topk"] = q_wand
+
+    def q_wand_pruned(spark, sf):
+        # prune=True FORCES the θ-bootstrap + block-max pruning path even
+        # when the candidate set is below prune_min_blocks, so the oracle
+        # parity gate exercises the actual pruning code (the auto entry
+        # above takes the flat decode path at sf-scale corpora)
+        idx = _cached_index(spark, sf)
+        res = wand_topk(spark, idx, BM25_QUERY, k=K, prune=True)
+        return res.select(
+            "doc_id", fround(F.col("score"), 4).alias("score")
+        ).orderBy(F.col("score").desc(), "doc_id")
+    q["wand_topk_pruned"] = q_wand_pruned
 
     def q_doc_stats(spark, sf):
         return doc_stats(load_table(spark, sf, "documents")).select(
@@ -457,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk"] = _bm25_sql(BM25_QUERY, K)
     o["bm25_topk_rare"] = _bm25_sql(BM25_RARE_QUERY, K)
     o["wand_topk"] = _bm25_sql(BM25_QUERY, K)  # WAND is lossless ⇒ same answer
+    o["wand_topk_pruned"] = _bm25_sql(BM25_QUERY, K)  # forced pruning, same answer
 
     o["doc_stats"] = f"WITH {TOKS}, {DL} SELECT doc_id, dl AS doc_len FROM dl"
     o["corpus_stats"] = (

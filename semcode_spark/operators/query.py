@@ -25,6 +25,7 @@ Rank identity: total order (score desc, doc_id asc) — SURVEY §7.3(b).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -148,13 +149,21 @@ def wand_topk(
     Stage A (θ bootstrap): decode only each term's best block (highest
     max_w), score those docs exactly, θ = k-th best score so far.
     Stage B: keep a block of term t iff
-        idf_t · max_w(block) + Σ_{t'≠t} idf_t' · max_w_global(t') > θ
-    — a doc not appearing in any surviving block cannot beat θ. Decode
-    survivors, score exactly, merge with stage-A docs, global top-k.
+        idf_t · max_w(block) + Σ_{t'≠t} idf_t' · max_w_global(t') ≥ θ_eff
+    where θ_eff = (floor(θ·10^d + 0.5) − 0.5) / 10^d is the *lower edge
+    of θ's rounding bucket* (d = cfg.bm25.rank_decimals). Final ranking
+    is by round(score, d) then doc_id asc, so a doc whose raw score is
+    ≤ θ but rounds into θ's bucket can still out-rank the k-th result
+    via the doc_id tiebreak — pruning against raw θ would drop it
+    (reachable: docs with identical (tf, doc_len) tie bit-exactly).
+    Every posting block of any doc with round(score) ≥ round(θ) survives
+    this filter, so surviving docs are scored *completely*; decode
+    survivors, score exactly, global top-k.
 
     All candidate selection is DataFrame joins/filters; only the byte
     decode runs in Python (Arrow batches). Lossless by construction
-    (verified vs bm25_topk in tests/test_wand.py).
+    (verified vs bm25_topk in tests/test_wand.py, incl. the θ-tie
+    adversarial corpus).
     """
     k = k or cfg.bm25.default_k
     terms = list(dict.fromkeys(tokenize_query(query)))
@@ -227,14 +236,21 @@ def wand_topk(
                 .limit(k)
                 .collect()
             )
-            theta = theta_rows[-1]["score"] if len(theta_rows) >= k else -1.0
+            if len(theta_rows) >= k:
+                # prune against the lower edge of θ's rounding bucket,
+                # never raw θ: rank order is (round(score, d), doc_id),
+                # so equal-bucket docs with smaller doc_id must survive
+                f = 10 ** cfg.bm25.rank_decimals
+                theta_eff = (math.floor(theta_rows[-1]["score"] * f + 0.5) - 0.5) / f
+            else:
+                theta_eff = -1.0
             # job 3: a block survives iff its own bound plus the other
-            # terms' global bounds could still beat θ; decode survivors,
-            # exact-score, global top-k (TakeOrderedAndProject)
+            # terms' global bounds could still reach θ's bucket; decode
+            # survivors, exact-score, global top-k (TakeOrderedAndProject)
             per_term = spark.createDataFrame(
                 [(t, u) for t, u in term_ubs.items()], "term string, term_ub double")
             survivors = cand.join(F.broadcast(per_term), "term").filter(
-                F.col("ub") + F.lit(total_ub) - F.col("term_ub") > F.lit(theta)
+                F.col("ub") + F.lit(total_ub) - F.col("term_ub") >= F.lit(theta_eff)
             )
             rows = (
                 _score_blocks(survivors, tstats, avgdl, index["docs"], cfg)

@@ -43,3 +43,38 @@ def test_unpruned_index_path_matches(spark, documents, index, query):
     want = bm25_topk(documents, query, k=10).collect()
     got = wand_topk(spark, index, query, k=10, prune=False).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+def test_wand_theta_tie_boundary(spark, tmp_path):
+    """Adversarial θ-tie corpus: many docs with bit-identical BM25 scores
+    (same tf, same doc_len) straddling the k-th rank. Raw-θ strict
+    pruning would drop every block (ub == θ) and return empty / wrong
+    doc_ids; bucket-lower-edge pruning must return the doc_id-asc
+    winners, identical to the exhaustive path."""
+    rows = [(i, "apple banana") for i in range(30)]          # 30 exact ties
+    rows += [(100 + i, "cherry date elderberry fig") for i in range(5)]  # non-matching
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "tie_index")
+    build_index(spark, docs, out, cfg=CFG, groups=1, count_rows=False)
+    idx = read_index(spark, out)
+    want = bm25_topk(docs, "apple", k=10, cfg=CFG).collect()
+    got = wand_topk(spark, idx, "apple", k=10, cfg=CFG, prune=True).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want] == list(range(10))
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+
+
+def test_wand_theta_tie_multiterm(spark, tmp_path):
+    """Same boundary with a multi-term query: ties across blocks where
+    ub + rest lands exactly on θ."""
+    rows = [(i, "apple banana apple") for i in range(25)]
+    rows += [(200 + i, "banana") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "tie_index2")
+    build_index(spark, docs, out, cfg=CFG, groups=1, count_rows=False)
+    idx = read_index(spark, out)
+    want = bm25_topk(docs, "apple banana", k=12, cfg=CFG).collect()
+    got = wand_topk(spark, idx, "apple banana", k=12, cfg=CFG, prune=True).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)

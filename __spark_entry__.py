@@ -4,9 +4,10 @@ Every implemented operator family from SURVEY.md §2 has a `queries()`
 entry; SQL-expressible ones have a bit-exact DuckDB twin in
 `oracle_sql()` (shared md5 hash family, shared tokenizer regex, shared
 half-up rounding formula — see semcode_spark/functions/{hashing,
-rounding}.py). Non-SQL-expressible entries (approximate LSH ANN,
-multimodal stubs, streaming sink) intentionally have no oracle → the
-driver records the weaker rows-only check.
+rounding}.py). Every entry has a DuckDB oracle: the LSH ANN planes are
+deterministic md5-derived constants inlined as SQL literals, and the
+multimodal payloads are md5-generated so the oracle regenerates them
+from media_id alone.
 """
 
 from __future__ import annotations
@@ -393,7 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
     q["ann_cosine_topk"] = q_ann
 
-    def q_ann_lsh(spark, sf):  # approximate → rows-only check (no oracle)
+    def q_ann_lsh(spark, sf):  # deterministic planes ⇒ full DuckDB oracle
         cands, qs = _qv(spark, sf)
         return S.lsh_ann_topk(cands, qs, k=K).select(
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
@@ -427,14 +428,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda spark, sf: T.fingerprint(
         load_table(spark, sf, "documents"))
 
-    # --- multimodal plumbing (stub decode; rows-only check) ---
+    # --- multimodal plumbing (stub decode; md5-derived payloads give a
+    # full DuckDB oracle: the SQL regenerates header + byte histogram
+    # from media_id while Spark genuinely decodes the binary column) ---
     def q_media(spark, sf):
         media = M.synth_media(spark, 200)
         meta = M.decode_media_meta(media)
         return meta.join(
             M.extract_features(media), "media_id"
         ).select("media_id", "kind", "dec_width", "dec_height", "n_bytes",
-                 F.round(F.element_at("features", 1), 4).alias("f0"))
+                 fround(F.element_at("features", 1).cast("double"), 4).alias("f0"))
     q["media_decode_features"] = q_media
 
     # --- streaming (availableNow micro-batch; oracle = batch-equivalent SQL) ---
@@ -699,18 +702,45 @@ ranked AS (SELECT query_id, vec_id, cosine,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
 FROM ranked WHERE rank <= {K}
 """
-    # embedding_neardup oracle: the 4-plane LSH bucket inlined with the
-    # exact plane constants the engine embeds (similarity.plane_values)
-    def _plane_dot(p: int) -> str:
+    # LSH bucket oracles: the plane constants the engine embeds
+    # (similarity.plane_values) inlined as SQL literals — bit-exact
+    # bucket parity (plane dots are exact: float32 × ≤10-bit int fits a
+    # double mantissa; summation order matches the engine's left fold)
+    def _plane_dot(col: str, p: int) -> str:
         return " + ".join(
-            f"(CAST(v[{d + 1}] AS DOUBLE) * ({v}))"
+            f"(CAST({col}[{d + 1}] AS DOUBLE) * ({v}))"
             for d, v in enumerate(S.plane_values(p, 64))
         )
 
-    bucket_expr = " + ".join(
-        f"(CASE WHEN ({_plane_dot(p)}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(4)
-    )
+    def _bucket(col: str, first_plane: int, n_planes: int = 4) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({_plane_dot(col, first_plane + i)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    # multi-table ANN: table t uses planes [t*4, (t+1)*4); key = t<<32 + bucket
+    keys_v = ", ".join(f"({t} * 4294967296 + ({_bucket('v', t * 4)}))"
+                       for t in range(8))
+    keys_q = ", ".join(f"({t} * 4294967296 + ({_bucket('qv', t * 4)}))"
+                       for t in range(8))
+    o["ann_lsh_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 5),
+vb AS (SELECT vec_id, unnest([{keys_v}]) AS bucket FROM c),
+qb AS (SELECT query_id, unnest([{keys_q}]) AS bucket FROM q),
+cand AS (SELECT DISTINCT query_id, vec_id FROM vb JOIN qb USING (bucket)),
+scored AS (SELECT query_id, vec_id,
+           {fround_sql(f"({dot}) / (({nq}) * ({nv}))", 6)} AS cosine
+           FROM cand JOIN q USING (query_id) JOIN c USING (vec_id)),
+ranked AS (SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {K}
+"""
+    bucket_expr = _bucket("v", 0)
     dot_ab = ("list_sum(list_transform(list_zip(a.v, b.v), "
               "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
     na = "sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -764,5 +794,30 @@ SELECT doc_id, {ntok} AS n_tokens,
 FROM {toks_l}
 """
     o["doc_fingerprint"] = f"SELECT doc_id, md5({norm}) AS fp FROM documents"
+
+    # --- multimodal: regenerate header + byte histogram from media_id
+    # via the shared md5 family (synth_media's generative formula);
+    # Spark decodes the actual binary payload, the oracle never builds it
+    mid = "CAST(media_id AS VARCHAR)"
+    o["media_decode_features"] = f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS media_id FROM range(0, 200)),
+h AS (SELECT media_id, {MD5L.format(expr=mid)} AS hl FROM ids),
+meta AS (SELECT media_id,
+  CASE WHEN hl % 3 = 0 THEN 'image' WHEN hl % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(hl % 640 + 16 AS INT) AS dec_width,
+  CAST(hl % 480 + 16 AS INT) AS dec_height FROM h),
+bytes AS (SELECT media_id,
+  ('0x' || substr(md5({mid} || ':' || CAST(i AS VARCHAR)), 1, 2))::INT AS b
+  FROM ids, generate_series(0, {M.BODY_BYTES - 1}) t(i)),
+feat AS (SELECT media_id,
+  {fround_sql(
+      "CAST(sum(CASE WHEN b % 16 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / "
+      + str(M.BODY_BYTES), 4)} AS f0
+  FROM bytes GROUP BY 1)
+SELECT media_id, kind, dec_width, dec_height,
+       CAST({M.BODY_BYTES + 8} AS INT) AS n_bytes, f0
+FROM meta JOIN feat USING (media_id)
+"""
 
     return o

@@ -25,22 +25,33 @@ MEDIA_SCHEMA = "media_id long, kind string, payload binary, width int, height in
 FEATURE_DIM = 16
 
 
-def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded pseudo-random
-    bytes with a tiny header (kind byte, width, height) — scales via
-    spark.range, nothing materialized on the driver."""
+BODY_BYTES = 64  # deterministic payload body length (plus 8 header bytes)
+
+
+def synth_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic fake media table: payload = md5-derived pseudo-random
+    bytes behind a tiny header (width, height big-endian) — scales via
+    spark.range, nothing materialized on the driver.
+
+    All derivations use the portable md5 family (functions/hashing.py)
+    so a DuckDB oracle can regenerate every field bit-exactly from
+    media_id alone: h = md5_long(media_id); kind = h%3; width = h%640+16;
+    height = h%480+16; body byte i = first md5 byte of 'media_id:i'."""
+    from semcode_spark.functions.hashing import md5_long_col
+
     df = spark.range(n).withColumnRenamed("id", "media_id")
-    h = F.xxhash64("media_id", F.lit(seed))
+    h = md5_long_col(F.col("media_id").cast("string"))
     df = (
         df.withColumn("kind", F.when(F.pmod(h, F.lit(3)) == 0, "image")
                       .when(F.pmod(h, F.lit(3)) == 1, "audio").otherwise("video"))
         .withColumn("width", (F.pmod(h, F.lit(640)) + 16).cast("int"))
         .withColumn("height", (F.pmod(h, F.lit(480)) + 16).cast("int"))
     )
-    # payload: 4-byte big-endian width, height, then 64 deterministic bytes
+    # payload: 4-byte big-endian width, height, then BODY_BYTES md5 bytes
     body = F.concat(*[
-        F.unhex(F.lpad(F.hex(F.pmod(F.xxhash64("media_id", F.lit(i)), F.lit(256))), 2, "0"))
-        for i in range(64)
+        F.unhex(F.substring(F.md5(F.concat(
+            F.col("media_id").cast("string"), F.lit(f":{i}"))), 1, 2))
+        for i in range(BODY_BYTES)
     ])
     payload = F.concat(
         F.unhex(F.lpad(F.hex(F.col("width")), 8, "0")),

@@ -150,6 +150,7 @@ def minhash_signature(
 def minhash_lsh_pairs(
     docs: DataFrame, n_perm: int = 16, bands: int = 4, threshold: float = 0.5,
     n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """LSH-banded near-dup detection: band key = md5 over the band's
     signature slice → docs sharing any band are candidates → verified
@@ -157,6 +158,13 @@ def minhash_lsh_pairs(
 
     At 10^12 docs the band join is the only shuffle that matters; band
     keys are uniform md5 values so it is skew-free by construction.
+
+    ``eager=True`` (default) materializes the (small) result via
+    localCheckpoint and deterministically unpersists the shared shingle
+    cache before returning — a long-lived serving process never keeps
+    the shingle relation pinned in executor memory. ``eager=False``
+    returns the lazy plan (batch-pipeline composition); the caller then
+    owns the cache lifetime via Spark's LRU/ContextCleaner.
     """
     rows_per_band = n_perm // bands
     # the shingle relation feeds minhashing AND the verify stage — cache it
@@ -182,8 +190,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify ONLY the LSH candidates (never the full shingle-sharing
-    # pair space — that degenerates to ~n² when the vocabulary is small);
-    # sh_cached is unpersisted lazily by Spark's LRU once the query ends
+    # pair space — that degenerates to ~n² when the vocabulary is small)
     sh = sh_cached
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("sh_a"))
@@ -196,13 +203,19 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
-    return (
+    result = (
         inter.join(sa, "a").join(sb, "b")
         .withColumn("jaccard", fround(
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if eager:
+        # materialize the result (near-dup pairs: tiny vs the shingle
+        # relation), cut its lineage, then release the shingle cache NOW
+        result = result.localCheckpoint(eager=True)
+        sh_cached.unpersist()
+    return result
 
 
 # ------------------------------------------------------------ simhash ------

@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semcode_spark.functions.rounding import fround
 from semcode_spark.operators.index_build import term_doc_tf
 
 
@@ -75,7 +76,10 @@ def windowed_event_stats(
         src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # fround, not F.round: JVM BigDecimal HALF_UP on the exact
+            # binary value can disagree with the oracle's floor(x·10⁴+0.5)
+            # when the multiply crosses the .5 boundary (functions/rounding.py)
+            fround(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),

@@ -65,6 +65,12 @@ class IndexConfig:
     hot_term_df_ratio: float = 0.05
     salt_factor: int = 8
     token_pattern: str = "[^a-z0-9]+"  # split-pattern, shared with DuckDB oracle
+    # lexical analyzer applied at build AND query time — the two must
+    # share one analyzer or query terms miss the postings, the same
+    # invariant as embedding the query with the model that embedded the
+    # corpus (reference embeddings/providers.py:34-104). The name is
+    # persisted in the index's meta.json and enforced on read/add.
+    analyzer: str = "standard"  # standard | stop | stem | stop_stem
 
 
 @dataclass(frozen=True)

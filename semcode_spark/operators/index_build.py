@@ -4,13 +4,13 @@ Pipeline (the Spark re-expression of the reference's
 ingest → chunk → embed → upsert flow, reference: services/indexer.py:65-133):
 
     scan(documents/web_pages)
-      → tokenize (JVM codegen, functions/tokenize.py)          [no shuffle]
-      → explode → groupBy(term, doc_id) count                  [shuffle 1: partial agg]
-      → term/corpus stats aggs                                 [shuffle 2: tiny]
-      → hot-term salting + repartition(bucket(term, salt))     [shuffle 3]
-      → sortWithinPartitions(term, salt, doc_id)               [in-partition external sort]
-      → mapInPandas block encoder (delta+varint + block max)   [Arrow, no per-row Python]
-      → parquet/Iceberg write, partitioned by bucket group     [checkpoint grain]
+      → tokenize (JVM codegen, functions/analyzers.py)          [no shuffle]
+      → explode → groupBy(term, doc_id) count                   [shuffle 1: partial agg]
+      → term/corpus stats aggs                                  [shuffle 2: tiny]
+      → hot-term salting + repartition(bucket(term, salt))      [shuffle 3]
+      → sortWithinPartitions(term, salt, doc_id)                [in-partition external sort]
+      → mapInArrow block encoder (delta+varint + block max)     [Arrow, no per-row Python]
+      → parquet write, partitioned by bucket group              [checkpoint grain]
 
 Scale notes (100 TB / 10^12 docs):
 - shuffle 1 benefits from map-side partial aggregation: rows shuffled ≈
@@ -19,7 +19,7 @@ Scale notes (100 TB / 10^12 docs):
   ``salt_factor`` sub-keys keyed by hash(doc_id) so no single reducer
   owns a full stopword posting list (north_rule: explicit skew split).
   AQE skew handling remains on as the safety net.
-- the block encoder runs on *sorted* partition streams via mapInPandas,
+- the block encoder runs on *sorted* partition streams via mapInArrow,
   so Spark's spillable external sort does the heavy lifting and Python
   only packs bytes; a carry buffer keeps (term, salt) groups intact
   across Arrow batch boundaries so the block layout is deterministic
@@ -27,10 +27,44 @@ Scale notes (100 TB / 10^12 docs):
 - per-bucket-group writes + a manifest row after each group give
   partition-grain idempotent resume, the Spark equivalent of the
   reference's staged JobInfo progress (api/jobs.py:17-30,73-91).
+
+Persistent layout (layout 2 — versioned, snapshot-committed):
+
+    index_dir/
+      CURRENT                 tiny text file: the live version number.
+                              Rewritten atomically (os.replace) — the
+                              local stand-in for an Iceberg snapshot
+                              commit; compaction builds v{N+1} fully,
+                              then flips this pointer, so a crash at any
+                              point leaves v{N} untouched and readable.
+      manifest/               append-only lineage (stage, group, status,
+                              rows, wall_ms, version). Readers only see
+                              segments/groups with a completed manifest
+                              row for the CURRENT version — a crashed
+                              half-written segment is invisible.
+      metrics/                per-stage telemetry (append-only).
+      v{N}/
+        meta.json             {"analyzer": ..., "layout": 2} — the build
+                              and the query side MUST share one analyzer
+                              (reference provider-selection contract,
+                              embeddings/providers.py:34-104).
+        docs/seg=S/           doc_id, doc_len
+        corpus/seg=S/         n_docs, avgdl   (replace writes negative
+                              delta rows; read aggregates exactly)
+        term_stats/seg=S/     term, df, cf, is_hot  (delta rows too)
+        term_bounds/group=G/  per-term block-max metadata: max_w,
+                              n_blocks, best_salt, best_block, avgdl_enc
+                              — lets WAND bootstrap θ without scanning
+                              blocks metadata (operators/query.py)
+        postings/group=G/     compressed block rows
+        tombstones/seg=S/     doc_id, before_group — doc replace marks
+                              older postings/doc rows dead; compaction
+                              physically drops them
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from collections.abc import Callable, Iterator
@@ -41,8 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from semcode_spark.config import DEFAULT, EngineConfig
-from semcode_spark.functions.tokenize import tokens_col
-from semcode_spark.operators import blocks as B
+from semcode_spark.functions.analyzers import analyzer
 
 POSTINGS_SCHEMA = (
     "term string, salt int, block_id int, n int, "
@@ -55,27 +88,78 @@ POSTINGS_SCHEMA = (
 # avgdl_now/avgdl_enc, so the WAND block bound stays valid as
 # max_w · max(1, avgdl_now/avgdl_enc) — see operators/segments.py.
 
+LAYOUT = 2
+
+
+# ------------------------------------------------------- version pointer ----
+
+def _current_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "CURRENT")
+
+
+def read_current_version(index_dir: str) -> int | None:
+    """The live snapshot version, or None for a not-yet-initialized dir."""
+    try:
+        with open(_current_path(index_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def commit_current_version(index_dir: str, version: int) -> None:
+    """Atomically flip the live-version pointer (write-temp + os.replace
+    — POSIX-atomic; the Iceberg-snapshot-commit analog). Everything under
+    v{version} must be fully written before calling this."""
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _current_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{version}\n")
+    os.replace(tmp, _current_path(index_dir))
+
+
+def version_dir(index_dir: str, version: int) -> str:
+    return os.path.join(index_dir, f"v{version}")
+
+
+def _write_meta(vdir: str, cfg: EngineConfig) -> None:
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "meta.json"), "w") as f:
+        json.dump({"analyzer": cfg.index.analyzer, "layout": LAYOUT}, f)
+
+
+def read_meta(vdir: str) -> dict:
+    try:
+        with open(os.path.join(vdir, "meta.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"analyzer": "standard", "layout": LAYOUT}
+
 
 # ---------------------------------------------------------------- stats ----
 
-def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_id, doc_len (token count) — the analog of the reference's
-    per-chunk bookkeeping (chunking/tree_sitter_chunker.py:48-57)."""
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """doc_id, doc_len (token count under the configured analyzer) — the
+    analog of the reference's per-chunk bookkeeping
+    (chunking/tree_sitter_chunker.py:48-57)."""
+    toks = analyzer(cfg.index.analyzer)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(text_col)).alias("doc_len"),
+        F.size(toks(text_col)).alias("doc_len"),
     )
 
 
-def term_doc_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def term_doc_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
     """(term, doc_id, tf, doc_len) — the exploded postings relation.
 
     explode + groupBy compiles to a hash aggregate with map-side partial
     combine; doc_len rides along (functionally dependent on doc_id) so
     the build never needs a doc-stats join."""
+    toks_fn = analyzer(cfg.index.analyzer)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        tokens_col(text_col).alias("toks"),
+        toks_fn(text_col).alias("toks"),
     ).select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
     return toks.groupBy("term", "doc_id", "doc_len").agg(
         F.count(F.lit(1)).alias("tf")
@@ -90,8 +174,7 @@ def corpus_stats(dstats: DataFrame) -> DataFrame:
 
 
 def term_stats(tf: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """term, df, cf, max_w — max_w (idf-free weight bound, needs avgdl)
-    is added during build from the encoded blocks instead; here df/cf."""
+    """term, df, cf."""
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
@@ -104,6 +187,8 @@ def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Encode one or more complete (term, salt) runs (already sorted by
     term, salt, doc_id) into block rows. Per-group numpy; the Python loop
     is per *term*, never per posting."""
+    from semcode_spark.operators import blocks as B
+
     out: list[tuple] = []
     for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
         doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
@@ -161,6 +246,8 @@ def _make_arrow_encoder(block_size: int):
     per (term, salt) *group*, numerics stay numpy views end to end."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    from semcode_spark.operators import blocks as B
 
     def encode_partition(batches):
         carry: pa.Table | None = None
@@ -242,6 +329,66 @@ def _make_arrow_encoder(block_size: int):
     return encode_partition
 
 
+# ------------------------------------------------------------- decoding ----
+
+def decode_postings(blocks_df: DataFrame) -> DataFrame:
+    """Block rows → flat (term, group, doc_id, tf) posting rows.
+
+    The single decode kernel shared by query scoring, segment
+    compaction, and replace-time stats deltas (numpy varint/delta
+    decode over Arrow batches; the Python loop is per *block*, never
+    per posting). ``group`` rides along so tombstone filtering —
+    "postings of doc d in groups < before_group are dead" — stays a
+    relational anti-join downstream."""
+    from semcode_spark.operators import blocks as B
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms, grps, ids, tfs = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
+                t = B.varint_decode(row.tfs).astype(np.int64)
+                ids.append(d)
+                tfs.append(t)
+                terms.append(np.full(len(d), row.term, dtype=object))
+                grps.append(np.full(len(d), row.group, dtype=np.int32))
+            yield pd.DataFrame({
+                "term": np.concatenate(terms),
+                "group": np.concatenate(grps),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs),
+            })
+
+    return blocks_df.select("term", "group", "doc_ids", "tfs").mapInPandas(
+        kernel, schema="term string, group int, doc_id long, tf long"
+    )
+
+
+def filter_dead_postings(flat: DataFrame, tombstones: DataFrame | None,
+                         n_tombstones: int) -> DataFrame:
+    """Drop decoded postings killed by a doc replacement: a posting of
+    doc d from group g is dead iff a tombstone (d, before) with
+    g < before exists. No-op (no join in the plan) when the index has
+    no tombstones."""
+    if not n_tombstones or tombstones is None:
+        return flat
+    t = tombstones.select(F.col("doc_id").alias("t_id"),
+                          F.col("before_group").alias("t_before"))
+    return flat.join(
+        t, (flat["doc_id"] == t["t_id"]) & (flat["group"] < t["t_before"]),
+        "left_anti",
+    )
+
+
+def live_postings_flat(idx: dict) -> DataFrame:
+    """Decode the whole visible index to live (term, group, doc_id, tf)."""
+    return filter_dead_postings(
+        decode_postings(idx["postings"]), idx.get("tombstones"),
+        idx.get("_n_tombstones", 0))
+
+
 # ---------------------------------------------------------------- build ----
 
 def hot_terms(tstats: DataFrame, n_docs: int, cfg: EngineConfig = DEFAULT) -> list[str]:
@@ -293,6 +440,27 @@ def encoded_postings(
     ).withColumn("avgdl_enc", F.lit(float(avgdl)))
 
 
+def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> None:
+    """Derive per-term block-max metadata for one written postings group
+    (blocks metadata only — never decodes posting bytes; cost scales
+    with #blocks in the group). WAND's θ bootstrap reads this tiny table
+    instead of scanning blocks (operators/query.py)."""
+    blocks = spark.read.parquet(os.path.join(vdir, "postings", f"group={group}"))
+    tb = blocks.groupBy("term").agg(
+        F.max("max_w").alias("max_w"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max_by(F.struct("salt", "block_id"), F.col("max_w")).alias("best"),
+        F.max("avgdl_enc").alias("avgdl_enc"),
+    ).select(
+        "term", "max_w", "n_blocks",
+        F.col("best.salt").alias("best_salt"),
+        F.col("best.block_id").alias("best_block"),
+        "avgdl_enc",
+    )
+    tb.write.mode("overwrite").parquet(
+        os.path.join(vdir, "term_bounds", f"group={group}"))
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -305,15 +473,7 @@ def build_index(
     text_col: str = "text",
     count_rows: bool = True,
 ) -> dict:
-    """Build (or resume) the full index under out_dir.
-
-    Layout:
-      out_dir/docs/            doc_id, doc_len
-      out_dir/corpus/          n_docs, avgdl
-      out_dir/term_stats/      term, df, cf
-      out_dir/postings/group=g/  block rows (bucket % groups == g)
-      out_dir/manifest/        stage, group, status, rows, wall_ms, ts  (append-only lineage)
-      out_dir/metrics/         stage, rows, wall_ms                     (telemetry analog)
+    """Build (or resume) the full index under out_dir (layout 2 above).
 
     ``groups`` is the checkpoint grain: each group is one idempotent
     Spark job + one manifest append; a rerun with resume=True skips
@@ -322,45 +482,53 @@ def build_index(
     resume test. Returns summary dict.
     """
     t_all = time.time()
+    version = read_current_version(out_dir)
+    if version is None:
+        version = 0
+        _write_meta(version_dir(out_dir, version), cfg)
+        commit_current_version(out_dir, version)
+    vdir = version_dir(out_dir, version)
     man_dir = os.path.join(out_dir, "manifest")
-    done = _completed(spark, man_dir) if resume else set()
+    done = _completed(spark, man_dir, version) if resume else set()
     metrics: list[tuple] = []
 
     # docs is scanned twice (doc_stats + tf); if it is a derived plan
     # (e.g. html extraction), persist it for the duration of the build
     docs = docs.persist()
-    tf = term_doc_tf(docs, id_col, text_col).persist()
+    tf = term_doc_tf(docs, id_col, text_col, cfg).persist()
     try:
         if "stats" in done:
-            cs = spark.read.parquet(os.path.join(out_dir, "corpus")).collect()[0]
+            cs = spark.read.parquet(os.path.join(vdir, "corpus")).collect()[0]
             n_docs, avgdl = cs["n_docs"], cs["avgdl"]
             hot = [
-                r["term"] for r in spark.read.parquet(os.path.join(out_dir, "term_stats"))
+                r["term"] for r in spark.read.parquet(os.path.join(vdir, "term_stats"))
                 .filter(F.col("is_hot")).select("term").collect()
             ]
         else:
             t0 = time.time()
-            ds = doc_stats(docs, id_col, text_col)
-            ds.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+            ds = doc_stats(docs, id_col, text_col, cfg)
+            ds.write.mode("overwrite").parquet(os.path.join(vdir, "docs", "seg=0"))
             # aggregate over the *written* table — avoids re-tokenizing
             # the whole corpus for one tiny agg
             cs = corpus_stats(
-                spark.read.parquet(os.path.join(out_dir, "docs"))
+                spark.read.parquet(os.path.join(vdir, "docs", "seg=0"))
             ).collect()[0]
             n_docs, avgdl = cs["n_docs"], cs["avgdl"]
             if not n_docs:
                 raise ValueError("cannot build an index over an empty corpus")
             spark.createDataFrame(
                 [(int(n_docs), float(avgdl))], "n_docs long, avgdl double"
-            ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+            ).write.mode("overwrite").parquet(os.path.join(vdir, "corpus", "seg=0"))
             ts = term_stats(tf, cfg)
             thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
             ts_flagged = ts.withColumn("is_hot", F.col("df") > thr).persist()
-            ts_flagged.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+            ts_flagged.write.mode("overwrite").parquet(
+                os.path.join(vdir, "term_stats", "seg=0"))
             hot = [r["term"] for r in ts_flagged.filter(F.col("is_hot"))
                    .select("term").collect()]
             ts_flagged.unpersist()
-            _manifest_append(spark, man_dir, "stats", -1, "completed", n_docs, time.time() - t0)
+            _manifest_append(spark, man_dir, "stats", -1, "completed",
+                             n_docs, time.time() - t0, version)
             metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
 
         enc_all = encoded_postings(tf, float(avgdl), hot, cfg)
@@ -370,12 +538,15 @@ def build_index(
                 continue
             t0 = time.time()
             part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
-            part.write.mode("overwrite").parquet(os.path.join(out_dir, "postings", f"group={g}"))
+            part.write.mode("overwrite").parquet(
+                os.path.join(vdir, "postings", f"group={g}"))
+            write_term_bounds(spark, vdir, g)  # before the manifest row
             rows = (
-                spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}")).count()
+                spark.read.parquet(os.path.join(vdir, "postings", f"group={g}")).count()
                 if count_rows else -1
             )
-            _manifest_append(spark, man_dir, "postings", g, "completed", rows, time.time() - t0)
+            _manifest_append(spark, man_dir, "postings", g, "completed",
+                             rows, time.time() - t0, version)
             metrics.append((f"postings/g{g}", rows, int((time.time() - t0) * 1000)))
             if fail_after_group is not None and g >= fail_after_group:
                 raise RuntimeError(f"injected failure after group {g}")
@@ -389,59 +560,134 @@ def build_index(
 
     wall = time.time() - t_all
     return {"n_docs": int(n_docs), "avgdl": float(avgdl), "hot_terms": len(hot),
-            "groups": groups, "wall_s": wall, "docs_per_sec": int(n_docs) / wall}
+            "groups": groups, "wall_s": wall, "docs_per_sec": int(n_docs) / wall,
+            "version": version}
 
 
 def _manifest_append(
     spark: SparkSession, man_dir: str, stage: str, group: int,
-    status: str, rows: int, wall_s: float,
+    status: str, rows: int, wall_s: float, version: int,
 ) -> None:
     spark.createDataFrame(
-        [(stage, group, status, int(rows), int(wall_s * 1000))],
-        "stage string, group int, status string, rows long, wall_ms long",
+        [(stage, group, status, int(rows), int(wall_s * 1000), int(version))],
+        "stage string, group int, status string, rows long, wall_ms long, version int",
     ).write.mode("append").parquet(man_dir)
 
 
-def _completed(spark: SparkSession, man_dir: str) -> set[str]:
+def _completed(spark: SparkSession, man_dir: str, version: int) -> set[str]:
     try:
         man = spark.read.parquet(man_dir)
     except Exception:
         return set()
     out: set[str] = set()
-    for r in man.filter(F.col("status") == "completed").collect():
+    rows = man.filter(
+        (F.col("status") == "completed") & (F.col("version") == version)
+    ).collect()
+    for r in rows:
         out.add("stats" if r["stage"] == "stats" else f"group={r['group']}")
     return out
 
 
+def _visible(spark: SparkSession, out_dir: str, version: int) -> tuple[set[int], set[int]]:
+    """(visible segment ids, visible postings groups) for a version —
+    only stages with a completed manifest row count, so a crashed
+    half-written add_segment is invisible to every reader."""
+    try:
+        man = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    except Exception:
+        return set(), set()
+    rows = man.filter(
+        (F.col("status") == "completed") & (F.col("version") == version)
+    ).collect()
+    segs: set[int] = set()
+    groups: set[int] = set()
+    for r in rows:
+        if r["stage"] == "stats":
+            segs.add(0)
+        elif r["stage"] == "postings":
+            groups.add(int(r["group"]))
+        elif r["stage"] == "segment":
+            segs.add(int(r["group"]))
+            groups.add(int(r["group"]))
+    return segs, groups
+
+
+def _empty_tombstones(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long, before_group int")
+
+
 def read_index(spark: SparkSession, out_dir: str, cache: bool = False) -> dict[str, DataFrame]:
-    """Open an index. Stats tables are append-only across incremental
-    segments (operators/segments.py), so they aggregate on read: df/cf
-    sum per term; corpus stats merge weighted by n_docs.
+    """Open the CURRENT snapshot of an index.
+
+    Stats tables are append-only across incremental segments
+    (operators/segments.py) and may carry negative delta rows from doc
+    replacement, so they aggregate on read: df/cf sum per term; corpus
+    stats merge weighted by n_docs — both cancel deltas exactly. Docs
+    rows killed by a tombstone (seg < before_group) are filtered here;
+    postings-level tombstone filtering happens in the decode path
+    (operators/query.py) because it needs the block's group.
 
     cache=True is serving mode (the analog of the reference's long-lived
     service process with Milvus's collection loaded to memory,
-    storage/milvus_store.py:83-85): postings/docs/term_stats are
-    persisted and materialized so repeated queries skip the parquet
+    storage/milvus_store.py:83-85): postings/docs/term_stats/term_bounds
+    are persisted and materialized so repeated queries skip the parquet
     scan. On a cluster this is executor block-manager memory."""
-    corpus_raw = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    version = read_current_version(out_dir)
+    if version is None:
+        raise FileNotFoundError(f"no CURRENT pointer under {out_dir}")
+    vdir = version_dir(out_dir, version)
+    segs, groups = _visible(spark, out_dir, version)
+    seg_list, group_list = sorted(segs), sorted(groups)
+
+    corpus_raw = spark.read.parquet(os.path.join(vdir, "corpus")).filter(
+        F.col("seg").isin(seg_list))
     corpus = corpus_raw.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
     )
-    term_stats_raw = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    term_stats_raw = spark.read.parquet(os.path.join(vdir, "term_stats")).filter(
+        F.col("seg").isin(seg_list))
     term_stats_agg = term_stats_raw.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf"),
         F.max("is_hot").alias("is_hot"),  # salted in ≥1 segment
-    )
-    idx = {
-        "docs": spark.read.parquet(os.path.join(out_dir, "docs")),
+    ).filter(F.col("df") > 0)  # fully-replaced terms cancel to zero
+
+    tomb_dir = os.path.join(vdir, "tombstones")
+    if os.path.isdir(tomb_dir):
+        tombstones = spark.read.parquet(tomb_dir).filter(
+            F.col("seg").isin(seg_list)).select("doc_id", "before_group")
+        n_tomb = tombstones.count()
+    else:
+        tombstones, n_tomb = _empty_tombstones(spark), 0
+
+    docs_raw = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+        F.col("seg").isin(seg_list))
+    if n_tomb:
+        t = tombstones.select(F.col("doc_id").alias("t_id"),
+                              F.col("before_group").alias("t_before"))
+        docs_live = docs_raw.join(
+            t, (docs_raw["doc_id"] == t["t_id"]) & (docs_raw["seg"] < t["t_before"]),
+            "left_anti",
+        )
+    else:
+        docs_live = docs_raw
+
+    idx: dict = {
+        "docs": docs_live.select("doc_id", "doc_len"),
         "corpus": corpus,
         "term_stats": term_stats_agg,
-        "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
+        "term_bounds": spark.read.parquet(os.path.join(vdir, "term_bounds")).filter(
+            F.col("group").isin(group_list)),
+        "postings": spark.read.parquet(os.path.join(vdir, "postings")).filter(
+            F.col("group").isin(group_list)),
+        "tombstones": tombstones,
+        "analyzer": read_meta(vdir).get("analyzer", "standard"),
+        "_n_tombstones": n_tomb,
         "_dir": out_dir,
+        "_version": version,
     }
     if cache:
-        for name in ("docs", "term_stats", "postings"):
+        for name in ("docs", "term_stats", "term_bounds", "postings"):
             idx[name] = idx[name].persist()
             idx[name].count()  # materialize now, not on first query
         idx["_corpus_row"] = idx["corpus"].collect()[0]

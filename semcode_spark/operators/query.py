@@ -10,39 +10,49 @@ Two paths, both DataFrame-planned:
    broadcast join.
 
 2. ``wand_topk`` — the persisted block index path with block-max
-   pruning: an initial θ from each term's single best block, then only
-   blocks whose upper bound (idf·max_w_block + Σ other terms' global
-   bounds) exceeds θ are decoded. The analog of IVF nprobe=16/128
-   cluster pruning (milvus_store.py:144), but lossless: tests assert
-   pruned == exhaustive.
+   pruning: θ bootstrapped from each term's single best block, then only
+   blocks whose upper bound can still reach θ's rounding bucket are
+   decoded. The analog of IVF nprobe=16/128 cluster pruning
+   (milvus_store.py:144), but lossless: tests assert pruned ==
+   exhaustive.
 
 Physical shape of (1): BroadcastExchange(query terms) → hash agg on
 doc_id → TakeOrderedAndProject(k) — zero wide shuffles for small k
 (partial top-k per partition, merged on the driver, SURVEY §3.2).
 
-Rank identity: total order (score desc, doc_id asc) — SURVEY §7.3(b).
+Job structure of (2) with pruning: job 1 collects the query terms' rows
+from the tiny term_stats ⋈ term_bounds metadata tables (persisted in
+serving mode — microseconds, never touches blocks); job 2 decodes one
+block per term for θ; job 3 decodes survivors and takes the global
+top-k. The per-term global bounds and best-block pointers are computed
+once at BUILD time (index_build.write_term_bounds), not per query.
+
+Rank identity: total order (round(score, d) desc, doc_id asc) — SURVEY
+§7.3(b); d = cfg.bm25.rank_decimals.
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from semcode_spark.config import DEFAULT, EngineConfig
-from semcode_spark.functions.tokenize import tokenize_query
-from semcode_spark.operators import blocks as B
-from semcode_spark.operators.index_build import term_doc_tf
+from semcode_spark.functions.analyzers import analyze_query, analyzer
+from semcode_spark.operators.index_build import (
+    decode_postings, filter_dead_postings, term_doc_tf,
+)
 
 
 def idf_col(df_col, n_docs: float):
     """Lucene-style non-negative idf: ln((N - df + 0.5)/(df + 0.5) + 1)."""
     return F.log((F.lit(n_docs) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+
+
+def idf_py(df: float, n_docs: float) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
 def score_col(tf_col, dl_col, idf, avgdl: float, cfg: EngineConfig = DEFAULT):
@@ -65,11 +75,9 @@ def bm25_scores(
     oracle comparison and as the reference result for WAND tests.
     """
     spark = docs.sparkSession
-    tf = term_doc_tf(docs, id_col, text_col)
-    stats = docs.select(F.size(
-        F.filter(F.split(F.lower(F.col(text_col)), DEFAULT.index.token_pattern),
-                 lambda t: t != "")
-    ).alias("dl")).agg(
+    toks = analyzer(cfg.index.analyzer)
+    tf = term_doc_tf(docs, id_col, text_col, cfg)
+    stats = docs.select(F.size(toks(F.col(text_col))).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
@@ -100,7 +108,7 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query — exhaustive path."""
     k = k or cfg.bm25.default_k
-    terms = tokenize_query(query)
+    terms = analyze_query(cfg.index.analyzer, query)
     if not terms:
         raise ValueError("empty query")  # reference validates the same (api/main.py:203-206)
     scores = bm25_scores(docs, terms, cfg, id_col, text_col)
@@ -114,26 +122,40 @@ def bm25_topk(
 
 # ----------------------------------------------------------- index path ----
 
-def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """block rows → (term, doc_id, w) posting rows (numpy decode)."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        terms, ids, ws = [], [], []
-        for row in pdf.itertuples(index=False):
-            d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
-            tf = B.varint_decode(row.tfs).astype(np.float64)
-            # recompute exact w from tf: w stored per-block only as max;
-            # exact per-posting w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
-            # requires dl — so blocks store tf and we join doc_len after
-            ids.append(d)
-            ws.append(tf)
-            terms.append(np.full(len(d), row.term, dtype=object))
-        yield pd.DataFrame({
-            "term": np.concatenate(terms),
-            "doc_id": np.concatenate(ids),
-            "tf": np.concatenate(ws),
-        })
+def _query_terms(index: dict, query: str) -> list[str]:
+    """Tokenize under the INDEX's analyzer (persisted in meta.json) —
+    the build/query shared-kernel contract."""
+    return list(dict.fromkeys(
+        analyze_query(index.get("analyzer", "standard"), query)))
+
+
+def _term_meta(
+    spark: SparkSession, index: dict, terms: list[str], n_docs: float, avgdl: float,
+) -> tuple[dict, dict, dict, int]:
+    """One tiny job: per-term idf, global upper bound, best-block pointer
+    and total block count, from term_stats ⋈ term_bounds (both metadata
+    tables, persisted in serving mode — never touches posting blocks)."""
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = (
+        index["term_bounds"].join(F.broadcast(qt), "term")
+        .join(index["term_stats"].select("term", "df"), "term")
+        .collect()
+    )
+    idfs: dict[str, float] = {}
+    term_ubs: dict[str, float] = {}
+    best: dict[str, tuple[int, int, int]] = {}
+    n_blocks = 0
+    for r in rows:
+        t = r["term"]
+        if t not in idfs:
+            idfs[t] = idf_py(float(r["df"]), n_docs)
+        corr = max(1.0, avgdl / r["avgdl_enc"])
+        ub = idfs[t] * r["max_w"] * corr
+        n_blocks += r["n_blocks"]
+        if t not in term_ubs or ub > term_ubs[t]:
+            term_ubs[t] = ub
+            best[t] = (r["group"], r["best_salt"], r["best_block"])
+    return idfs, term_ubs, best, n_blocks
 
 
 def wand_topk(
@@ -146,8 +168,9 @@ def wand_topk(
 ) -> DataFrame:
     """Top-k over the persisted block index with block-max pruning.
 
-    Stage A (θ bootstrap): decode only each term's best block (highest
-    max_w), score those docs exactly, θ = k-th best score so far.
+    Stage A (θ bootstrap): decode only each term's best block (pointer
+    precomputed at build, term_bounds), score those docs exactly,
+    θ = k-th best score so far.
     Stage B: keep a block of term t iff
         idf_t · max_w(block) + Σ_{t'≠t} idf_t' · max_w_global(t') ≥ θ_eff
     where θ_eff = (floor(θ·10^d + 0.5) − 0.5) / 10^d is the *lower edge
@@ -163,10 +186,10 @@ def wand_topk(
     All candidate selection is DataFrame joins/filters; only the byte
     decode runs in Python (Arrow batches). Lossless by construction
     (verified vs bm25_topk in tests/test_wand.py, incl. the θ-tie
-    adversarial corpus).
+    adversarial corpus and doc-replacement tombstones).
     """
     k = k or cfg.bm25.default_k
-    terms = list(dict.fromkeys(tokenize_query(query)))
+    terms = _query_terms(index, query)
     if not terms:
         raise ValueError("empty query")
     if "_corpus_row" not in index:  # cache: one collect per index, not per query
@@ -174,98 +197,72 @@ def wand_topk(
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
 
-    qt = spark.createDataFrame([(t,) for t in terms], "term string")
-    tstats = (
-        index["term_stats"].join(F.broadcast(qt), "term")
-        .withColumn("idf", idf_col(F.col("df"), n_docs))
-        .select("term", "idf")
-    )
-    cand = index["postings"].join(F.broadcast(qt), "term")
-    # block bound: idf · max_w, inflated by avgdl_now/avgdl_enc when the
-    # corpus avgdl has grown since the block was encoded (per-posting
-    # weights grow by at most that ratio — keeps pruning lossless across
-    # incremental segments, operators/segments.py)
-    adl_corr = (
-        F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
-        if "avgdl_enc" in index["postings"].columns else F.lit(1.0)
-    )
-    cand = cand.join(F.broadcast(tstats), "term").withColumn(
-        "ub", F.col("idf") * F.col("max_w") * adl_corr
-    )
+    # job 1 (metadata-only, tiny)
+    idfs, term_ubs, best, n_blocks = _term_meta(spark, index, terms, n_docs, avgdl)
+    tstats = spark.createDataFrame(
+        [(t, i) for t, i in idfs.items()], "term string, idf double"
+    ) if idfs else spark.createDataFrame([], "term string, idf double")
 
-    if prune:
-        cand = cand.persist()
-        try:
-            # job 1: per-term global upper bounds (blocks metadata only —
-            # never collects posting bytes, scales with #terms not #blocks)
-            per_term_rows = cand.groupBy("term").agg(
-                F.max("ub").alias("term_ub"),
-                F.count(F.lit(1)).alias("n_blocks")).collect()
-            term_ubs = {r["term"]: r["term_ub"] for r in per_term_rows}
-            total_ub = sum(term_ubs.values()) or 0.0
-            n_blocks = sum(r["n_blocks"] for r in per_term_rows)
-            if prune == "auto" and n_blocks <= cfg.bm25.prune_min_blocks:
-                # candidate set is small: θ-bootstrap + pruning would cost
-                # two extra jobs for nothing — decode everything directly
-                # (the flat-scan side of the nprobe-vs-flat decision,
-                # reference milvus_store.py:144)
-                rows = (
-                    _score_blocks(cand, tstats, avgdl, index["docs"], cfg)
-                    .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
-                             F.col("doc_id").asc())
-                    .limit(k)
-                    .collect()
-                )
-                return spark.createDataFrame(
-                    rows, "doc_id long, score double") if rows else \
-                    spark.createDataFrame([], "doc_id long, score double")
-            # job 2: θ bootstrap — decode each term's single best block,
-            # score those docs exactly, θ = current k-th best
-            best = cand.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("term").orderBy(
-                        F.col("ub").desc(), F.col("salt"), F.col("block_id")
-                    )
-                ),
-            ).filter(F.col("rn") == 1).drop("rn")
-            theta_rows = (
-                _score_blocks(best, tstats, avgdl, index["docs"], cfg)
-                .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
-                         F.col("doc_id").asc())
-                .limit(k)
-                .collect()
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    cand = index["postings"].join(F.broadcast(qt), "term")
+
+    if prune == "auto":
+        # below prune_min_blocks the θ-bootstrap + pruning would cost
+        # two extra jobs for nothing — decode everything directly (the
+        # flat-scan side of the nprobe-vs-flat decision, reference
+        # milvus_store.py:144)
+        prune = n_blocks > cfg.bm25.prune_min_blocks
+
+    if prune and term_ubs:
+        total_ub = sum(term_ubs.values())
+        # job 2: θ bootstrap — decode each term's single best block
+        best_df = spark.createDataFrame(
+            [(t, g, s, b) for t, (g, s, b) in best.items()],
+            "term string, group int, salt int, block_id int")
+        best_blocks = index["postings"].join(
+            F.broadcast(best_df), ["term", "group", "salt", "block_id"])
+        theta_rows = (
+            _score_blocks(best_blocks, tstats, avgdl, index, cfg)
+            .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                     F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        if len(theta_rows) >= k:
+            # prune against the lower edge of θ's rounding bucket,
+            # never raw θ: rank order is (round(score, d), doc_id),
+            # so equal-bucket docs with smaller doc_id must survive
+            f = 10 ** cfg.bm25.rank_decimals
+            theta_eff = (math.floor(theta_rows[-1]["score"] * f + 0.5) - 0.5) / f
+        else:
+            theta_eff = -1.0
+        # job 3: a block survives iff its own bound plus the other
+        # terms' global bounds could still reach θ's bucket; decode
+        # survivors, exact-score, global top-k (TakeOrderedAndProject)
+        per_term = spark.createDataFrame(
+            [(t, u) for t, u in term_ubs.items()], "term string, term_ub double")
+        adl_corr = F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
+        survivors = (
+            cand.join(F.broadcast(tstats), "term")
+            .join(F.broadcast(per_term), "term")
+            .filter(
+                F.col("idf") * F.col("max_w") * adl_corr
+                + F.lit(total_ub) - F.col("term_ub") >= F.lit(theta_eff)
             )
-            if len(theta_rows) >= k:
-                # prune against the lower edge of θ's rounding bucket,
-                # never raw θ: rank order is (round(score, d), doc_id),
-                # so equal-bucket docs with smaller doc_id must survive
-                f = 10 ** cfg.bm25.rank_decimals
-                theta_eff = (math.floor(theta_rows[-1]["score"] * f + 0.5) - 0.5) / f
-            else:
-                theta_eff = -1.0
-            # job 3: a block survives iff its own bound plus the other
-            # terms' global bounds could still reach θ's bucket; decode
-            # survivors, exact-score, global top-k (TakeOrderedAndProject)
-            per_term = spark.createDataFrame(
-                [(t, u) for t, u in term_ubs.items()], "term string, term_ub double")
-            survivors = cand.join(F.broadcast(per_term), "term").filter(
-                F.col("ub") + F.lit(total_ub) - F.col("term_ub") >= F.lit(theta_eff)
-            )
-            rows = (
-                _score_blocks(survivors, tstats, avgdl, index["docs"], cfg)
-                .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
-                         F.col("doc_id").asc())
-                .limit(k)
-                .collect()
-            )
-        finally:
-            cand.unpersist()
+            .drop("idf", "term_ub")
+        )
+        rows = (
+            _score_blocks(survivors, tstats, avgdl, index, cfg)
+            .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                     F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
         return spark.createDataFrame(rows, "doc_id long, score double") if rows else \
             spark.createDataFrame([], "doc_id long, score double")
 
     return (
-        _score_blocks(cand, tstats, avgdl, index["docs"], cfg)
+        _score_blocks(cand, tstats, avgdl, index, cfg)
         .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
                  F.col("doc_id").asc())
         .limit(k)
@@ -296,7 +293,7 @@ def bm25_topk_batch(
     qt_rows, k_rows = [], []
     for qid, text, k in queries:
         k_rows.append((qid, k))
-        for t in dict.fromkeys(tokenize_query(text)):
+        for t in _query_terms(index, text):
             qt_rows.append((qid, t))
     if not qt_rows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
@@ -310,9 +307,9 @@ def bm25_topk_batch(
         .select("term", "idf")
     )
     blocks_df = index["postings"].join(F.broadcast(terms), "term")
-    postings = blocks_df.select("term", "doc_ids", "tfs").mapInPandas(
-        _decode_blocks, schema="term string, doc_id long, tf double"
-    )
+    postings = filter_dead_postings(
+        decode_postings(blocks_df), index.get("tombstones"),
+        index.get("_n_tombstones", 0))
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
     )
@@ -338,14 +335,16 @@ def _score_blocks(
     blocks_df: DataFrame,
     tstats: DataFrame,
     avgdl: float,
-    docs: DataFrame,
+    index: dict,
     cfg: EngineConfig,
 ) -> DataFrame:
+    """Decode block rows, drop tombstoned postings, join doc lengths,
+    exact BM25 per doc. ``tstats`` carries (term, idf)."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
-    postings = blocks_df.select("term", "doc_ids", "tfs").mapInPandas(
-        _decode_blocks, schema="term string, doc_id long, tf double"
-    )
-    joined = postings.join(F.broadcast(tstats), "term").join(docs, "doc_id")
+    postings = filter_dead_postings(
+        decode_postings(blocks_df), index.get("tombstones"),
+        index.get("_n_tombstones", 0))
+    joined = postings.join(F.broadcast(tstats), "term").join(index["docs"], "doc_id")
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
     )

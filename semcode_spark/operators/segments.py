@@ -2,25 +2,42 @@
 
 The reference's async jobs add repositories to a live index one at a
 time (api/main.py:142-161 → services/indexer.py:65-133, Milvus absorbs
-the merge). Our persisted index absorbs new documents the way Lucene
-does: each increment becomes a new *segment* (one more postings group +
-append-only stats rows); queries read the union; a compaction pass
-decode-merges segments back into a tight layout.
+the merge; re-adding with force *replaces* a repo's entries,
+ingestion/manager.py:108-115 + keyed upsert storage/milvus_store.py:87-133).
+Our persisted index absorbs new documents the way Lucene does: each
+increment becomes a new *segment* (one more postings group + per-segment
+stats partitions); queries read the union; a compaction pass
+decode-merges segments into a fresh snapshot version.
 
 Correctness across segments:
-- term_stats / corpus are append-only and aggregated on read
+- term_stats / corpus are per-segment partitions aggregated on read
   (index_build.read_index), so idf / avgdl always reflect the full
   corpus — scores are exactly what a from-scratch rebuild would give.
 - stored block bounds (max_w) were computed with the segment-time avgdl;
   wand_topk inflates them by max(1, avgdl_now/avgdl_enc), a proven upper
   bound (w is monotone in avgdl with ratio ≤ avgdl_new/avgdl_old), so
   block-max pruning stays lossless.
-- doc_ids must be globally unique (use xxhash64(url)); duplicate adds
-  are the caller's contract, same as the reference's force-reindex flag
-  (ingestion/manager.py:108-115).
+- re-adding an existing doc_id REPLACES it (replace=True, the default):
+  tombstones mark the older postings/doc rows dead (filtered at query
+  time), and exact negative stats deltas — corpus from the stored
+  doc_len of the removed rows, term df/cf from decoding the removed
+  docs' live postings — keep idf/avgdl identical to a fresh build of
+  the deduplicated corpus (tests/test_segments.py). The delta decode
+  scans the visible postings once (same cost class as one exhaustive
+  query); at web scale, batch re-crawls into few large replace calls
+  and compact periodically to drop tombstones.
 
-On object stores the swap in compact_segments would be an Iceberg
-snapshot commit; locally it is a directory swap.
+Crash safety:
+- a segment becomes visible only when its manifest row commits
+  (read_index gates every table on manifest-completed segments); all
+  per-segment writes are idempotent overwrites of seg=/group=
+  subdirectories, so a crashed add_segment retries cleanly.
+- compaction builds a complete new version directory v{N+1} and then
+  atomically flips the CURRENT pointer (os.replace — the local analog
+  of an Iceberg snapshot commit). A crash at ANY point before the flip
+  leaves v{N} fully readable; manifest rows are version-scoped, so the
+  aborted v{N+1} rows are invisible and a later resume/compaction
+  cannot mis-skip groups.
 """
 
 from __future__ import annotations
@@ -33,19 +50,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from semcode_spark.config import DEFAULT, EngineConfig
-from semcode_spark.operators import blocks as B
 from semcode_spark.operators.index_build import (
-    POSTINGS_SCHEMA, _manifest_append, corpus_stats, doc_stats,
-    encoded_postings, read_index, term_doc_tf, term_stats,
+    _manifest_append, commit_current_version, corpus_stats, doc_stats,
+    encoded_postings, live_postings_flat, read_current_version, read_index,
+    read_meta, term_doc_tf, term_stats, version_dir, write_term_bounds,
+    _write_meta,
 )
 
 
-def _next_group(spark: SparkSession, index_dir: str) -> int:
+def _next_group(spark: SparkSession, index_dir: str, version: int) -> int:
     try:
         man = spark.read.parquet(os.path.join(index_dir, "manifest"))
     except Exception:
         return 0  # brand-new index: a stream can build one segment-by-segment
-    row = man.agg(F.max("group").alias("g")).collect()[0]
+    row = man.filter(F.col("version") == version).agg(
+        F.max("group").alias("g")).collect()[0]
     return int(row["g"]) + 1 if row["g"] is not None else 0
 
 
@@ -56,101 +75,173 @@ def add_segment(
     cfg: EngineConfig = DEFAULT,
     id_col: str = "doc_id",
     text_col: str = "text",
+    replace: bool = True,
 ) -> dict:
-    """Index new_docs into a fresh segment of an existing index."""
+    """Index new_docs into a fresh segment of an existing (or brand-new)
+    index. With replace=True (default), doc_ids already present are
+    replaced, never double-counted — the reference's force-reingest
+    contract."""
     t0 = time.time()
+    version = read_current_version(index_dir)
+    if version is None:
+        version = 0
+        _write_meta(version_dir(index_dir, version), cfg)
+        commit_current_version(index_dir, version)
+    vdir = version_dir(index_dir, version)
+    if read_meta(vdir).get("analyzer", "standard") != cfg.index.analyzer:
+        raise ValueError(
+            f"analyzer mismatch: index built with "
+            f"{read_meta(vdir).get('analyzer')!r}, segment cfg says "
+            f"{cfg.index.analyzer!r} — build and query must share one "
+            f"analyzer (reference embeddings/providers.py:34-104)")
+    man_dir = os.path.join(index_dir, "manifest")
+    g = _next_group(spark, index_dir, version)
+
     new_docs = new_docs.persist()
+    tf = term_doc_tf(new_docs, id_col, text_col, cfg).persist()
+    collided: DataFrame | None = None
     try:
-        tf = term_doc_tf(new_docs, id_col, text_col).persist()
-        try:
-            ds = doc_stats(new_docs, id_col, text_col)
-            ds.write.mode("append").parquet(os.path.join(index_dir, "docs"))
-            cs = corpus_stats(ds).collect()[0]
-            n_new, avgdl_seg = int(cs["n_docs"]), float(cs["avgdl"])
-            spark.createDataFrame(
-                [(n_new, avgdl_seg)], "n_docs long, avgdl double"
-            ).write.mode("append").parquet(os.path.join(index_dir, "corpus"))
+        ds = doc_stats(new_docs, id_col, text_col, cfg)
+        cs = corpus_stats(ds).collect()[0]
+        n_new, avgdl_seg = int(cs["n_docs"]), float(cs["avgdl"])
 
-            ts = term_stats(tf, cfg)
-            thr = max(2.0, cfg.index.hot_term_df_ratio * n_new)
-            ts.withColumn("is_hot", F.col("df") > thr).write.mode("append").parquet(
-                os.path.join(index_dir, "term_stats"))
-            hot = [r["term"] for r in ts.filter(F.col("df") > thr)
-                   .select("term").collect()]
+        # ---- replace bookkeeping: exact negative deltas + tombstones ----
+        n_coll = 0
+        corpus_rows = [(n_new, avgdl_seg)]
+        neg_ts: DataFrame | None = None
+        if replace and g > 0:
+            idx = read_index(spark, index_dir)
+            new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+            collided = idx["docs"].join(F.broadcast(new_ids), "doc_id").persist()
+            n_coll = collided.count()
+            if n_coll:
+                # corpus delta from the stored doc_len of the removed rows
+                # (exact: n·avg is an integer sum, lossless in a double)
+                old = collided.agg(F.avg("doc_len").alias("avgdl")).collect()[0]
+                corpus_rows.append((-n_coll, float(old["avgdl"])))
+                # term deltas by decoding the removed docs' live postings
+                dead_tf = live_postings_flat(idx).join(
+                    F.broadcast(collided.select("doc_id")), "doc_id")
+                neg_ts = dead_tf.groupBy("term").agg(
+                    (-F.count(F.lit(1))).alias("df"),
+                    (-F.sum("tf")).alias("cf"),
+                ).withColumn("is_hot", F.lit(False))
 
-            g = _next_group(spark, index_dir)
-            enc = encoded_postings(tf, avgdl_seg, hot, cfg)
-            enc.write.mode("overwrite").parquet(
-                os.path.join(index_dir, "postings", f"group={g}"))
-            _manifest_append(spark, os.path.join(index_dir, "manifest"),
-                             "segment", g, "completed", n_new, time.time() - t0)
-        finally:
-            tf.unpersist()
+        # ---- idempotent per-segment writes (invisible until manifest) ----
+        ds.write.mode("overwrite").parquet(os.path.join(vdir, "docs", f"seg={g}"))
+        spark.createDataFrame(
+            corpus_rows, "n_docs long, avgdl double"
+        ).write.mode("overwrite").parquet(os.path.join(vdir, "corpus", f"seg={g}"))
+
+        ts = term_stats(tf, cfg)
+        thr = max(2.0, cfg.index.hot_term_df_ratio * n_new)
+        ts_out = ts.withColumn("is_hot", F.col("df") > thr)
+        if neg_ts is not None:
+            ts_out = ts_out.unionByName(neg_ts)
+        ts_out.write.mode("overwrite").parquet(
+            os.path.join(vdir, "term_stats", f"seg={g}"))
+        hot = [r["term"] for r in ts.filter(F.col("df") > thr)
+               .select("term").collect()]
+
+        if n_coll and collided is not None:
+            collided.select("doc_id").withColumn(
+                "before_group", F.lit(g)
+            ).write.mode("overwrite").parquet(
+                os.path.join(vdir, "tombstones", f"seg={g}"))
+
+        enc = encoded_postings(tf, avgdl_seg, hot, cfg)
+        enc.write.mode("overwrite").parquet(
+            os.path.join(vdir, "postings", f"group={g}"))
+        write_term_bounds(spark, vdir, g)
+
+        # visibility commit: the one manifest row that makes all of the
+        # above readable (read_index gates on it)
+        _manifest_append(spark, man_dir, "segment", g, "completed",
+                         n_new, time.time() - t0, version)
     finally:
+        if collided is not None:
+            collided.unpersist()
+        tf.unpersist()
         new_docs.unpersist()
-    return {"group": g, "n_docs": n_new, "wall_s": time.time() - t0}
+    return {"group": g, "n_docs": n_new, "n_replaced": n_coll,
+            "wall_s": time.time() - t0}
 
 
 def compact_segments(
     spark: SparkSession,
     index_dir: str,
     cfg: EngineConfig = DEFAULT,
+    keep_old_version: bool = False,
+    fail_before_commit: bool = False,
 ) -> dict:
-    """Decode-merge all segments into a fresh single layout: postings are
-    decoded (never re-tokenized), re-bucketed and re-encoded with the
-    full-corpus avgdl; stats tables are consolidated. Queries before and
-    after return identical results (tests/test_segments.py)."""
-    import pandas as pd  # noqa: F401 — decode kernel below
+    """Decode-merge all live segments into a fresh snapshot version:
+    postings are decoded (never re-tokenized), tombstoned docs dropped
+    physically, re-bucketed and re-encoded with the full-corpus avgdl;
+    stats tables consolidate to one segment. Queries before and after
+    return identical results (tests/test_segments.py).
 
+    The new version v{N+1} is built COMPLETELY, then the CURRENT pointer
+    flips atomically; ``fail_before_commit`` injects a crash just before
+    the flip for the crash-safety test (the old version must stay
+    readable). ``keep_old_version`` skips the post-commit cleanup of
+    v{N} (e.g. while concurrent readers may still hold it open)."""
     t0 = time.time()
+    version = read_current_version(index_dir)
+    if version is None:
+        raise FileNotFoundError(f"no CURRENT pointer under {index_dir}")
+    new_version = version + 1
+    vnew = version_dir(index_dir, new_version)
+    man_dir = os.path.join(index_dir, "manifest")
+
     idx = read_index(spark, index_dir)
-    corpus = idx["corpus"].collect()[0]
-    n_docs, avgdl = int(corpus["n_docs"]), float(corpus["avgdl"])
+    docs_live = idx["docs"].persist()
+    try:
+        cs = corpus_stats(docs_live).collect()[0]
+        n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
 
-    def decode(batches):
-        import numpy as np
-        import pandas as pd
+        shutil.rmtree(vnew, ignore_errors=True)  # idempotent retry
+        _write_meta(vnew, cfg)
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            terms, ids, tfs = [], [], []
-            for row in pdf.itertuples(index=False):
-                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
-                t = B.varint_decode(row.tfs).astype(np.int64)
-                ids.append(d)
-                tfs.append(t)
-                terms.append(np.full(len(d), row.term, dtype=object))
-            yield pd.DataFrame({
-                "term": np.concatenate(terms),
-                "doc_id": np.concatenate(ids),
-                "tf": np.concatenate(tfs),
-            })
+        docs_live.write.mode("overwrite").parquet(
+            os.path.join(vnew, "docs", "seg=0"))
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
+        ).write.mode("overwrite").parquet(os.path.join(vnew, "corpus", "seg=0"))
 
-    flat = idx["postings"].select("term", "doc_ids", "tfs").mapInPandas(
-        decode, schema="term string, doc_id long, tf long")
-    tf = flat.join(idx["docs"], "doc_id").select("term", "doc_id", "doc_len", "tf")
+        flat = live_postings_flat(idx)
+        tf = flat.join(docs_live, "doc_id").select("term", "doc_id", "doc_len", "tf")
 
-    thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
-    ts = idx["term_stats"].persist()
-    hot = [r["term"] for r in ts.filter(F.col("df") > thr).select("term").collect()]
+        thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
+        ts = idx["term_stats"].persist()
+        ts.withColumn("is_hot", F.col("df") > thr).write.mode("overwrite").parquet(
+            os.path.join(vnew, "term_stats", "seg=0"))
+        hot = [r["term"] for r in ts.filter(F.col("df") > thr)
+               .select("term").collect()]
+        ts.unpersist()
 
-    tmp = index_dir.rstrip("/") + ".compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    enc = encoded_postings(tf, avgdl, hot, cfg)
-    enc.write.mode("overwrite").parquet(os.path.join(tmp, "postings", "group=0"))
-    ts.withColumn("is_hot", F.col("df") > thr).write.mode("overwrite").parquet(
-        os.path.join(tmp, "term_stats"))
-    spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
-        .write.mode("overwrite").parquet(os.path.join(tmp, "corpus"))
-    ts.unpersist()
+        enc = encoded_postings(tf, avgdl, hot, cfg)
+        enc.write.mode("overwrite").parquet(os.path.join(vnew, "postings", "group=0"))
+        write_term_bounds(spark, vnew, 0)
 
-    # swap (locally atomic enough; Iceberg snapshot commit on a cluster)
-    for name in ("postings", "term_stats", "corpus"):
-        old = os.path.join(index_dir, name)
-        shutil.rmtree(old)
-        shutil.move(os.path.join(tmp, name), old)
-    shutil.rmtree(tmp, ignore_errors=True)
-    _manifest_append(spark, os.path.join(index_dir, "manifest"),
-                     "compaction", 0, "completed", n_docs, time.time() - t0)
-    return {"n_docs": n_docs, "wall_s": time.time() - t0}
+        # manifest rows for the new version (version-scoped: invisible
+        # under the still-current version; complete before the flip)
+        _manifest_append(spark, man_dir, "stats", -1, "completed",
+                         n_docs, time.time() - t0, new_version)
+        _manifest_append(spark, man_dir, "postings", 0, "completed",
+                         n_docs, time.time() - t0, new_version)
+        _manifest_append(spark, man_dir, "compaction", new_version, "completed",
+                         n_docs, time.time() - t0, new_version)
+
+        if fail_before_commit:
+            raise RuntimeError("injected failure before snapshot commit")
+
+        # ---- the snapshot commit ----
+        commit_current_version(index_dir, new_version)
+    finally:
+        docs_live.unpersist()
+
+    if not keep_old_version:
+        # post-commit cleanup; a crash here leaves a harmless orphan dir
+        shutil.rmtree(version_dir(index_dir, version), ignore_errors=True)
+    return {"n_docs": n_docs, "version": new_version,
+            "wall_s": time.time() - t0}

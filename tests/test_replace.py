@@ -1,0 +1,139 @@
+"""Doc replacement (tombstones + exact stats deltas), crash-safe
+compaction (snapshot-commit), and manifest-gated segment visibility."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
+from semcode_spark.operators import segments as SEG
+from semcode_spark.operators.index_build import (
+    build_index, read_current_version, read_index,
+)
+from semcode_spark.operators.query import bm25_topk, bm25_topk_batch, wand_topk
+from semcode_spark.operators.segments import add_segment, compact_segments
+
+CFG = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=8, block_size=16))
+QUERIES = [(0, "spark query data", 10), (1, "dup merge", 10), (2, "the", 5)]
+
+
+def _run(spark, index, cfg=CFG):
+    rows = bm25_topk_batch(spark, index, QUERIES, cfg=cfg).collect()
+    return sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                  for r in rows)
+
+
+@pytest.fixture()
+def recrawl(documents):
+    """base = all 500 docs; recrawl = docs 100-149 with CHANGED text
+    (simulating a re-crawled URL whose content moved on)."""
+    base = documents
+    re_docs = (documents.filter("doc_id >= 100 and doc_id < 150")
+               .withColumn("text", F.concat(F.lit("fresh crawl content "),
+                                            F.col("text"))))
+    fresh = (documents.filter("doc_id < 100 or doc_id >= 150")
+             .select("doc_id", "text")
+             .union(re_docs.select("doc_id", "text")))
+    return base, re_docs, fresh
+
+
+def test_replace_equals_fresh_build(spark, recrawl, tmp_path):
+    """Re-ingesting existing doc_ids REPLACES them: scores, term_stats
+    and corpus stats all equal a from-scratch build of the deduplicated
+    corpus (reference force contract, ingestion/manager.py:108-115)."""
+    base, re_docs, fresh = recrawl
+    inc_dir = str(tmp_path / "inc")
+    build_index(spark, base, inc_dir, cfg=CFG, groups=2, count_rows=False)
+    out = add_segment(spark, inc_dir, re_docs, cfg=CFG)
+    assert out["n_replaced"] == 50
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, fresh, full_dir, cfg=CFG, groups=1, count_rows=False)
+
+    inc, full = read_index(spark, inc_dir), read_index(spark, full_dir)
+    a, b = inc["corpus"].collect()[0], full["corpus"].collect()[0]
+    assert a["n_docs"] == b["n_docs"] == 500
+    assert a["avgdl"] == pytest.approx(b["avgdl"], rel=1e-12)
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in inc["term_stats"].collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in full["term_stats"].collect()}
+    assert ts_a == ts_b
+    # docs table is deduplicated (tombstoned rows filtered)
+    assert inc["docs"].count() == 500
+    assert inc["docs"].select("doc_id").distinct().count() == 500
+    # batch + single-query + WAND answers identical to the fresh build
+    assert _run(spark, inc) == _run(spark, full)
+    for _, q, k in QUERIES:
+        got = wand_topk(spark, inc, q, k=k, cfg=CFG, prune=True).collect()
+        want = bm25_topk(fresh, q, k=k, cfg=CFG).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_replace_then_compact(spark, recrawl, tmp_path):
+    """Compaction physically drops tombstoned postings; answers and
+    stats survive, tombstones are gone."""
+    base, re_docs, fresh = recrawl
+    d = str(tmp_path / "inc2")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    add_segment(spark, d, re_docs, cfg=CFG)
+    before = _run(spark, read_index(spark, d))
+    compact_segments(spark, d, cfg=CFG)
+    idx = read_index(spark, d)
+    assert _run(spark, idx) == before
+    assert idx["_n_tombstones"] == 0
+    assert idx["docs"].count() == 500
+    assert read_current_version(d) == 1
+
+
+def test_crash_before_snapshot_commit_preserves_old_index(spark, recrawl, tmp_path):
+    """Kill compaction just before the CURRENT flip: the old version
+    stays fully readable with identical answers; a retried compaction
+    then succeeds and is invisible-failure-free."""
+    base, re_docs, _ = recrawl
+    d = str(tmp_path / "crash")
+    build_index(spark, base, d, cfg=CFG, groups=2, count_rows=False)
+    add_segment(spark, d, re_docs, cfg=CFG)
+    before = _run(spark, read_index(spark, d))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact_segments(spark, d, cfg=CFG, fail_before_commit=True)
+    # still on version 0, answers identical
+    assert read_current_version(d) == 0
+    assert _run(spark, read_index(spark, d)) == before
+    # retry completes and preserves answers
+    compact_segments(spark, d, cfg=CFG)
+    assert read_current_version(d) == 1
+    assert _run(spark, read_index(spark, d)) == before
+
+
+def test_partial_segment_is_invisible(spark, documents, tmp_path, monkeypatch):
+    """A segment whose manifest row never committed (crash mid-add) is
+    invisible to read_index — no skewed idf/avgdl from half-written
+    stats — and the retried add lands cleanly on the same group."""
+    base = documents.filter("doc_id < 350")
+    extra = documents.filter("doc_id >= 350")
+    d = str(tmp_path / "partial")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    before = _run(spark, read_index(spark, d))
+
+    real_append = SEG._manifest_append
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(SEG, "_manifest_append", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        add_segment(spark, d, extra, cfg=CFG)
+    # every table write happened, but nothing is visible
+    idx = read_index(spark, d)
+    assert idx["corpus"].collect()[0]["n_docs"] == 350
+    assert _run(spark, idx) == before
+
+    monkeypatch.setattr(SEG, "_manifest_append", real_append)
+    out = add_segment(spark, d, extra, cfg=CFG)  # idempotent retry
+    assert out["group"] == 1
+    idx2 = read_index(spark, d)
+    assert idx2["corpus"].collect()[0]["n_docs"] == 500
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, documents, full_dir, cfg=CFG, groups=1, count_rows=False)
+    assert _run(spark, idx2) == _run(spark, read_index(spark, full_dir))

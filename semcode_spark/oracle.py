@@ -24,8 +24,11 @@ def tokenize(text: str) -> list[str]:
 
 class BM25Oracle:
     def __init__(self, docs: dict[int, str], cfg: EngineConfig = DEFAULT):
+        from semcode_spark.functions.analyzers import analyze_query
+
         self.cfg = cfg
-        self.tf: dict[int, Counter] = {d: Counter(tokenize(t)) for d, t in docs.items()}
+        self._tok = lambda t: analyze_query(cfg.index.analyzer, t)
+        self.tf: dict[int, Counter] = {d: Counter(self._tok(t)) for d, t in docs.items()}
         self.dl = {d: sum(c.values()) for d, c in self.tf.items()}
         self.n = len(docs)
         self.avgdl = sum(self.dl.values()) / self.n if self.n else 0.0
@@ -50,7 +53,7 @@ class BM25Oracle:
         return s
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        terms = sorted(set(tokenize(query)))
+        terms = sorted(set(self._tok(query)))
         scored = [
             (d, self.score(d, terms))
             for d in self.tf

@@ -395,14 +395,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = q_ann
 
     def q_ann_lsh(spark, sf):  # deterministic planes ⇒ full DuckDB oracle
+        # n_planes pinned: the oracle SQL inlines exactly these plane
+        # constants (production default is adaptive_planes(corpus size))
         cands, qs = _qv(spark, sf)
-        return S.lsh_ann_topk(cands, qs, k=K).select(
+        return S.lsh_ann_topk(cands, qs, k=K, n_planes=4).select(
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
     q["ann_lsh_topk"] = q_ann_lsh
 
     def q_embdup(spark, sf):
         emb = load_table(spark, sf, "embeddings")
-        return S.embedding_neardup_pairs(emb, threshold=COS_NEARDUP_T)
+        return S.embedding_neardup_pairs(emb, threshold=COS_NEARDUP_T, n_planes=4)
     q["embedding_neardup"] = q_embdup
 
     # --- text analysis ---

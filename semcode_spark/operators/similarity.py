@@ -65,6 +65,21 @@ def cosine_topk(
     )
 
 
+def adaptive_planes(n_vectors: int, target_bucket: int = 256,
+                    lo: int = 4, hi: int = 24) -> int:
+    """Plane count sized to the corpus: expected bucket occupancy ≈
+    n / 2^planes, so within-bucket pair work is O(n²/2^planes) — a fixed
+    plane count that is fine at 10⁵ vectors is a scale-killer at 10⁹.
+    Pick the smallest count that brings the expected bucket below
+    ``target_bucket`` (floored at ``lo`` for recall, capped at ``hi``:
+    2^24 buckets is plenty before sharding the key space further)."""
+    import math
+
+    if n_vectors <= target_bucket * (1 << lo):
+        return lo
+    return min(hi, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def plane_values(p: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane: component d of plane p is
     (md5('p:d')[:15 nibbles] % 2001) - 1000 — computed driver-side once
@@ -110,16 +125,24 @@ def _lsh_bucket_planes(vec: Column, dim: int, n_planes: int, first_plane: int) -
 
 
 def lsh_ann_topk(
-    vectors: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 4,
+    vectors: DataFrame, queries: DataFrame, k: int = 10, n_planes: int | None = None,
     dim: int = 64, n_tables: int = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", qid_col: str = "query_id", qvec_col: str = "qvec",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing ≥1 LSH-table bucket
     with the query. (query_id, rank, vec_id, cosine).
 
     Candidate mass ≈ n_tables / 2^n_planes of the corpus; recall grows
     as 1-(1-p^n_planes)^n_tables. At 10^9+ vectors this replaces the
-    brute-force crossJoin with an equi-join on bucket keys."""
+    brute-force crossJoin with an equi-join on bucket keys.
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (adaptive_planes; pass ``n_vectors`` to skip the count job). Pin it
+    explicitly for reproducible cross-engine results."""
+    if n_planes is None:
+        n_planes = adaptive_planes(n_vectors if n_vectors is not None
+                                   else vectors.count())
     vb = vectors.select(
         F.col(id_col), F.col(vec_col),
         F.explode(_lsh_tables(F.col(vec_col), dim, n_planes, n_tables)).alias("bucket"),
@@ -143,11 +166,20 @@ def lsh_ann_topk(
 
 
 def embedding_neardup_pairs(
-    vectors: DataFrame, threshold: float = 0.95, n_planes: int = 4, dim: int = 64,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    vectors: DataFrame, threshold: float = 0.95, n_planes: int | None = None,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold; candidates restricted
-    to same LSH bucket (high-cosine pairs land together with high prob)."""
+    to same LSH bucket (high-cosine pairs land together with high prob).
+
+    ``n_planes=None`` (default) derives the plane count from the corpus
+    size: within-bucket pairing is O(n²/2^planes), so the count must
+    grow with n (tests/test_similarity.py asserts the candidate-mass
+    bound). Pin n_planes for reproducible cross-engine results."""
+    if n_planes is None:
+        n_planes = adaptive_planes(n_vectors if n_vectors is not None
+                                   else vectors.count())
     vb = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", _lsh_bucket(F.col("v"), dim, n_planes))

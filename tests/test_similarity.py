@@ -56,3 +56,49 @@ def test_neardup_pairs_self_excluded(spark, vecs):
     # identical-direction pair (0,1) has cosine ~0.9939 and identical
     # hyperplane signs → must be found
     assert any((r["a"], r["b"]) == (0, 1) for r in rows)
+
+
+def test_adaptive_planes_scales_with_corpus():
+    from semcode_spark.operators.similarity import adaptive_planes
+    assert adaptive_planes(1_000) == 4            # small corpus: recall floor
+    assert adaptive_planes(100_000) == 9          # 100k/2^9 ≈ 195 per bucket
+    assert adaptive_planes(10**9) == 22           # 1e9/2^22 ≈ 238 per bucket
+    assert adaptive_planes(10**12) == 24          # capped
+    # monotone non-decreasing
+    last = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8, 10**9):
+        p = adaptive_planes(n)
+        assert p >= last
+        last = p
+
+
+def test_neardup_candidate_mass_bounded(spark, embeddings):
+    """The LSH bucket join must examine ~n²/2^planes pairs, not n²:
+    assert the actual candidate-pair count under the derived plane count
+    is within 2× of the uniform-bucket expectation."""
+    from pyspark.sql import functions as F
+    from semcode_spark.operators.similarity import (
+        _lsh_bucket, adaptive_planes)
+
+    n = embeddings.count()
+    planes = adaptive_planes(n, target_bucket=16)  # force growth at n=500
+    assert planes > 4
+    sizes = [
+        r["c"] for r in embeddings
+        .select(_lsh_bucket(F.col("embedding"), 64, planes).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    cand_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    full = n * (n - 1) // 2
+    assert cand_pairs <= 2 * full / (2 ** planes)
+
+
+def test_adaptive_neardup_matches_pinned(spark, embeddings):
+    from semcode_spark.operators.similarity import (
+        adaptive_planes, embedding_neardup_pairs)
+
+    n = embeddings.count()
+    want = embedding_neardup_pairs(
+        embeddings, threshold=0.25, n_planes=adaptive_planes(n)).collect()
+    got = embedding_neardup_pairs(embeddings, threshold=0.25).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

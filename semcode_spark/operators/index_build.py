@@ -616,7 +616,27 @@ def _empty_tombstones(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, before_group int")
 
 
-def read_index(spark: SparkSession, out_dir: str, cache: bool = False) -> dict[str, DataFrame]:
+def collect_term_dict(index: dict, max_rows: int = 2_000_000) -> None:
+    """Serving-mode accelerator: pull the full term dictionary
+    (term_stats ⋈ term_bounds — df + per-group block bounds) to the
+    driver when it fits (``max_rows`` guards web-scale vocabularies:
+    beyond it, queries fall back to per-query metadata lookups with
+    memoization, operators/query._term_meta). The frontend-resident
+    term-dictionary design of classic search engines: postings stay on
+    executors, the tiny per-term metadata doesn't deserve a Spark job
+    per query. Sets index['_term_dict']: term → [bound rows]."""
+    if index["term_stats"].count() > max_rows:
+        return
+    rows = index["term_bounds"].join(
+        index["term_stats"].select("term", "df"), "term").collect()
+    d: dict[str, list] = {}
+    for r in rows:
+        d.setdefault(r["term"], []).append(r)
+    index["_term_dict"] = d
+
+
+def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
+               term_dict_max: int = 2_000_000) -> dict[str, DataFrame]:
     """Open the CURRENT snapshot of an index.
 
     Stats tables are append-only across incremental segments
@@ -691,4 +711,5 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False) -> dict[s
             idx[name] = idx[name].persist()
             idx[name].count()  # materialize now, not on first query
         idx["_corpus_row"] = idx["corpus"].collect()[0]
+        collect_term_dict(idx, term_dict_max)
     return idx

@@ -34,6 +34,7 @@ Rank identity: total order (round(score, d) desc, doc_id asc) — SURVEY
 from __future__ import annotations
 
 import math
+from itertools import chain
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,30 +133,47 @@ def _query_terms(index: dict, query: str) -> list[str]:
 def _term_meta(
     spark: SparkSession, index: dict, terms: list[str], n_docs: float, avgdl: float,
 ) -> tuple[dict, dict, dict, int]:
-    """One tiny job: per-term idf, global upper bound, best-block pointer
-    and total block count, from term_stats ⋈ term_bounds (both metadata
-    tables, persisted in serving mode — never touches posting blocks)."""
-    qt = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = (
-        index["term_bounds"].join(F.broadcast(qt), "term")
-        .join(index["term_stats"].select("term", "df"), "term")
-        .collect()
-    )
+    """Per-term idf, global upper bound, best-block pointer and total
+    block count, from term_stats ⋈ term_bounds (metadata only — never
+    touches posting blocks).
+
+    In serving mode read_index pre-collects the whole term dictionary to
+    the driver (the classic frontend-resident term-dictionary design) so
+    this is a pure dict lookup; otherwise one tiny Spark job fetches the
+    query terms' rows and memoizes them on the index handle."""
+    term_dict: dict | None = index.get("_term_dict")
+    if term_dict is None:
+        memo: dict = index.setdefault("_term_memo", {})
+        missing = [t for t in terms if t not in memo]
+        if missing:
+            rows = (
+                index["term_bounds"].filter(F.col("term").isin(missing))
+                .join(index["term_stats"].select("term", "df"), "term")
+                .collect()
+            )
+            for t in missing:
+                memo.setdefault(t, [])
+            for r in rows:
+                memo[r["term"]].append(r)
+        term_dict = memo
+
     idfs: dict[str, float] = {}
     term_ubs: dict[str, float] = {}
     best: dict[str, tuple[int, int, int]] = {}
     n_blocks = 0
-    for r in rows:
-        t = r["term"]
-        if t not in idfs:
-            idfs[t] = idf_py(float(r["df"]), n_docs)
-        corr = max(1.0, avgdl / r["avgdl_enc"])
-        ub = idfs[t] * r["max_w"] * corr
-        n_blocks += r["n_blocks"]
-        if t not in term_ubs or ub > term_ubs[t]:
-            term_ubs[t] = ub
-            best[t] = (r["group"], r["best_salt"], r["best_block"])
+    for t in terms:
+        for r in term_dict.get(t, []):
+            if t not in idfs:
+                idfs[t] = idf_py(float(r["df"]), n_docs)
+            corr = max(1.0, avgdl / r["avgdl_enc"])
+            ub = idfs[t] * r["max_w"] * corr
+            n_blocks += r["n_blocks"]
+            if t not in term_ubs or ub > term_ubs[t]:
+                term_ubs[t] = ub
+                best[t] = (r["group"], r["best_salt"], r["best_block"])
     return idfs, term_ubs, best, n_blocks
+
+
 
 
 def wand_topk(
@@ -197,14 +215,13 @@ def wand_topk(
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
 
-    # job 1 (metadata-only, tiny)
+    # stage 0 (metadata-only; dict lookup in serving mode, tiny job otherwise)
     idfs, term_ubs, best, n_blocks = _term_meta(spark, index, terms, n_docs, avgdl)
-    tstats = spark.createDataFrame(
-        [(t, i) for t, i in idfs.items()], "term string, idf double"
-    ) if idfs else spark.createDataFrame([], "term string, idf double")
-
-    qt = spark.createDataFrame([(t,) for t in terms], "term string")
-    cand = index["postings"].join(F.broadcast(qt), "term")
+    # query terms enter the plan as literals (isin + idf map), not as a
+    # broadcast-joined DataFrame: at a handful of terms per query the
+    # broadcast exchange is pure per-query latency (~0.3-0.5 s/job on
+    # the warm path for zero benefit)
+    cand = index["postings"].filter(F.col("term").isin(terms))
 
     if prune == "auto":
         # below prune_min_blocks the θ-bootstrap + pruning would cost
@@ -215,14 +232,16 @@ def wand_topk(
 
     if prune and term_ubs:
         total_ub = sum(term_ubs.values())
-        # job 2: θ bootstrap — decode each term's single best block
-        best_df = spark.createDataFrame(
-            [(t, g, s, b) for t, (g, s, b) in best.items()],
-            "term string, group int, salt int, block_id int")
-        best_blocks = index["postings"].join(
-            F.broadcast(best_df), ["term", "group", "salt", "block_id"])
+        # job A: θ bootstrap — decode each term's single best block
+        # (build-time pointer), selected by a literal predicate
+        best_pred = None
+        for t, (g, s, b) in best.items():
+            c = ((F.col("term") == t) & (F.col("group") == g)
+                 & (F.col("salt") == s) & (F.col("block_id") == b))
+            best_pred = c if best_pred is None else (best_pred | c)
+        best_blocks = index["postings"].filter(best_pred)
         theta_rows = (
-            _score_blocks(best_blocks, tstats, avgdl, index, cfg)
+            _score_blocks(best_blocks, idfs, avgdl, index, cfg)
             .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
                      F.col("doc_id").asc())
             .limit(k)
@@ -236,23 +255,22 @@ def wand_topk(
             theta_eff = (math.floor(theta_rows[-1]["score"] * f + 0.5) - 0.5) / f
         else:
             theta_eff = -1.0
-        # job 3: a block survives iff its own bound plus the other
-        # terms' global bounds could still reach θ's bucket; decode
-        # survivors, exact-score, global top-k (TakeOrderedAndProject)
-        per_term = spark.createDataFrame(
-            [(t, u) for t, u in term_ubs.items()], "term string, term_ub double")
+        # job B: a block of term t survives iff its own bound plus the
+        # other terms' global bounds could still reach θ's bucket —
+        # rearranged to a per-term cutoff on the block's corrected
+        # max_w so the filter is a literal map lookup, no joins:
+        #   idf_t·max_w·corr ≥ θ_eff − (total_ub − term_ub_t)
+        cutoffs = {
+            t: (theta_eff - (total_ub - term_ubs[t])) / idfs[t]
+            for t in term_ubs
+        }
+        cut_map = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.lit(c)) for t, c in cutoffs.items()))
         adl_corr = F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
-        survivors = (
-            cand.join(F.broadcast(tstats), "term")
-            .join(F.broadcast(per_term), "term")
-            .filter(
-                F.col("idf") * F.col("max_w") * adl_corr
-                + F.lit(total_ub) - F.col("term_ub") >= F.lit(theta_eff)
-            )
-            .drop("idf", "term_ub")
-        )
+        survivors = cand.filter(
+            F.col("max_w") * adl_corr >= cut_map[F.col("term")])
         rows = (
-            _score_blocks(survivors, tstats, avgdl, index, cfg)
+            _score_blocks(survivors, idfs, avgdl, index, cfg)
             .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
                      F.col("doc_id").asc())
             .limit(k)
@@ -262,7 +280,7 @@ def wand_topk(
             spark.createDataFrame([], "doc_id long, score double")
 
     return (
-        _score_blocks(cand, tstats, avgdl, index, cfg)
+        _score_blocks(cand, idfs, avgdl, index, cfg)
         .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
                  F.col("doc_id").asc())
         .limit(k)
@@ -333,18 +351,25 @@ def bm25_topk_batch(
 
 def _score_blocks(
     blocks_df: DataFrame,
-    tstats: DataFrame,
+    idfs: dict[str, float],
     avgdl: float,
     index: dict,
     cfg: EngineConfig,
 ) -> DataFrame:
     """Decode block rows, drop tombstoned postings, join doc lengths,
-    exact BM25 per doc. ``tstats`` carries (term, idf)."""
+    exact BM25 per doc. ``idfs`` (term → idf, a handful of query terms)
+    enters the plan as a literal map — no broadcast exchange."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
     postings = filter_dead_postings(
         decode_postings(blocks_df), index.get("tombstones"),
         index.get("_n_tombstones", 0))
-    joined = postings.join(F.broadcast(tstats), "term").join(index["docs"], "doc_id")
+    if not idfs:
+        return postings.join(index["docs"], "doc_id").groupBy("doc_id").agg(
+            F.lit(0.0).alias("score")).limit(0)
+    idf_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(v)) for t, v in idfs.items()))
+    joined = postings.withColumn("idf", idf_map[F.col("term")]).join(
+        index["docs"], "doc_id")
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
     )

@@ -58,3 +58,46 @@ def extract_text(html: Column) -> Column:
         return s.map(extract_text_py)
 
     return _extract(html)
+
+
+# ------------------------------------------------------ doc metadata (T6) ---
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.DOTALL | re.IGNORECASE)
+_ANCHOR_RE = re.compile(r"<a\s", re.IGNORECASE)
+_HEADING_RE = re.compile(r"<h[1-6][\s>]", re.IGNORECASE)
+
+
+def extract_metadata_py(html: bytes | None) -> tuple[str, int, int, bool]:
+    """Structural doc metadata: (title, n_links, n_headings, has_article)
+    — the lexical analog of the reference's symbol-extraction heuristic
+    (chunking/tree_sitter_chunker.py:106-125: the chunk's primary named
+    AST node; for a web page the primary symbol is its <title>)."""
+    if html is None:
+        return ("", 0, 0, False)
+    s = html.decode("utf-8", errors="ignore")
+    m = _TITLE_RE.search(s)
+    title = _WS_RE.sub(" ", m.group(1)).strip() if m else ""
+    return (
+        title,
+        len(_ANCHOR_RE.findall(s)),
+        len(_HEADING_RE.findall(s)),
+        "<article" in s.lower(),
+    )
+
+
+def extract_metadata(html: Column) -> Column:
+    """Doc-metadata struct column (title, n_links, n_headings,
+    has_article) via the same Arrow-batched kernel discipline as
+    extract_text."""
+
+    @pandas_udf("title string, n_links int, n_headings int, has_article boolean")
+    def _meta(s: pd.Series) -> pd.DataFrame:
+        rows = s.map(extract_metadata_py)
+        return pd.DataFrame({
+            "title": rows.map(lambda r: r[0]),
+            "n_links": rows.map(lambda r: r[1]),
+            "n_headings": rows.map(lambda r: r[2]),
+            "has_article": rows.map(lambda r: r[3]),
+        })
+
+    return _meta(html)

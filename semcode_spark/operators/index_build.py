@@ -440,11 +440,13 @@ def encoded_postings(
     ).withColumn("avgdl_enc", F.lit(float(avgdl)))
 
 
-def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> None:
+def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> int:
     """Derive per-term block-max metadata for one written postings group
     (blocks metadata only — never decodes posting bytes; cost scales
     with #blocks in the group). WAND's θ bootstrap reads this tiny table
-    instead of scanning blocks (operators/query.py)."""
+    instead of scanning blocks (operators/query.py). Returns the group's
+    block-row count (free from the same pass — saves the separate
+    count job per group)."""
     blocks = spark.read.parquet(os.path.join(vdir, "postings", f"group={group}"))
     tb = blocks.groupBy("term").agg(
         F.max("max_w").alias("max_w"),
@@ -459,6 +461,10 @@ def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> None:
     )
     tb.write.mode("overwrite").parquet(
         os.path.join(vdir, "term_bounds", f"group={group}"))
+    row = spark.read.parquet(
+        os.path.join(vdir, "term_bounds", f"group={group}")
+    ).agg(F.sum("n_blocks").alias("n")).collect()[0]
+    return int(row["n"] or 0)
 
 
 def build_index(
@@ -540,11 +546,9 @@ def build_index(
             part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
             part.write.mode("overwrite").parquet(
                 os.path.join(vdir, "postings", f"group={g}"))
-            write_term_bounds(spark, vdir, g)  # before the manifest row
-            rows = (
-                spark.read.parquet(os.path.join(vdir, "postings", f"group={g}")).count()
-                if count_rows else -1
-            )
+            # bounds derivation runs before the manifest row and yields
+            # the block-row count for free (count_rows kept for API compat)
+            rows = write_term_bounds(spark, vdir, g)
             _manifest_append(spark, man_dir, "postings", g, "completed",
                              rows, time.time() - t0, version)
             metrics.append((f"postings/g{g}", rows, int((time.time() - t0) * 1000)))

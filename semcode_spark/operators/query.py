@@ -287,6 +287,37 @@ def wand_topk(
     )
 
 
+def query_with_fallback(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    query: str,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> tuple[list, str]:
+    """Degraded-result query path (reference rag/pipeline.py:54-79,
+    219-249: retrieval errors are captured and the response degrades
+    instead of failing). Ladder: pruned WAND → flat index scan → empty
+    result with mode='degraded'. Returns (rows, mode); rows are
+    (doc_id, score) Rows, mode ∈ {'pruned', 'flat', 'degraded'}.
+
+    Invalid input (empty query) still raises — that is a caller error,
+    not a retrieval failure (reference api/main.py:203-206 validates
+    before querying)."""
+    k = k or cfg.bm25.default_k
+    if not _query_terms(index, query):
+        raise ValueError("empty query")
+    try:
+        return wand_topk(spark, index, query, k, cfg, prune=True).collect(), "pruned"
+    except ValueError:
+        raise
+    except Exception:
+        pass
+    try:
+        return wand_topk(spark, index, query, k, cfg, prune=False).collect(), "flat"
+    except Exception:
+        return [], "degraded"
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     index: dict[str, DataFrame],

@@ -43,3 +43,34 @@ def test_extract_py_fallback_and_null():
     assert extract_text_py(None) == ""
     assert extract_text_py(b"plain <b>no body tag</b> here") == "plain no body tag here"
     assert extract_text_py("<body>a\xff b</body>".encode("latin-1")) == "a b"
+
+
+def test_extract_metadata_struct(spark):
+    """T6 doc-metadata surface: title / link count / headings /
+    article flag parsed from the html column (the web-page analog of the
+    reference's primary-symbol heuristic)."""
+    from semcode_spark.functions.extract import extract_metadata
+    from semcode_spark.sources.webpages import synth_web_pages
+    import pyspark.sql.functions as F
+
+    pages = synth_web_pages(spark, 50)
+    got = pages.select(
+        "url", extract_metadata(F.col("html")).alias("m")
+    ).select("url", "m.*").collect()
+    assert len(got) == 50
+    for r in got:
+        seq = int(r["url"].rsplit("/", 1)[-1])
+        assert r["title"] == f"page {seq}"
+        assert r["n_links"] == 40          # nav repeats 40 anchors
+        assert r["n_headings"] == 0
+        assert r["has_article"] is True
+
+
+def test_extract_metadata_edge_cases(spark):
+    from semcode_spark.functions.extract import extract_metadata_py
+
+    assert extract_metadata_py(None) == ("", 0, 0, False)
+    assert extract_metadata_py(b"<html><body>plain</body></html>") == ("", 0, 0, False)
+    t, links, heads, art = extract_metadata_py(
+        b"<title>A\n  B</title><h1>x</h1><h2>y</h2><a href='u'>l</a><article>")
+    assert (t, links, heads, art) == ("A B", 1, 2, True)

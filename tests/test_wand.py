@@ -78,3 +78,41 @@ def test_wand_theta_tie_multiterm(spark, tmp_path):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
         assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+
+
+def test_query_with_fallback_ladder(spark, index, monkeypatch):
+    """Degraded-result path: pruned failure falls back to the flat scan
+    with identical results; total failure degrades to an empty result
+    instead of raising (reference rag/pipeline.py:54-79)."""
+    import semcode_spark.operators.query as Q
+    from semcode_spark.operators.query import query_with_fallback, wand_topk
+
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            wand_topk(spark, index, "spark query data", k=10, cfg=CFG, prune=False).collect()]
+
+    rows, mode = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
+    assert mode == "pruned"
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == want
+
+    real = Q._score_blocks
+    calls = {"n": 0}
+
+    def fail_first(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected decode failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(Q, "_score_blocks", fail_first)
+    rows, mode = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
+    assert mode == "flat"
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == want
+
+    monkeypatch.setattr(Q, "_score_blocks",
+                        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("down")))
+    rows, mode = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
+    assert mode == "degraded" and rows == []
+
+    monkeypatch.setattr(Q, "_score_blocks", real)
+    with pytest.raises(ValueError, match="empty query"):
+        query_with_fallback(spark, index, "???", k=10, cfg=CFG)

@@ -64,7 +64,6 @@ Persistent layout (layout 2 — versioned, snapshot-committed):
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from collections.abc import Callable, Iterator
@@ -92,47 +91,23 @@ LAYOUT = 2
 
 
 # ------------------------------------------------------- version pointer ----
+# Storage primitives live behind the TableIO seam (sources/tableio.py):
+# local parquet + CURRENT pointer here, Iceberg writeTo/MERGE/snapshot on
+# a cluster — see that module's mapping table.
 
-def _current_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "CURRENT")
-
-
-def read_current_version(index_dir: str) -> int | None:
-    """The live snapshot version, or None for a not-yet-initialized dir."""
-    try:
-        with open(_current_path(index_dir)) as f:
-            return int(f.read().strip())
-    except FileNotFoundError:
-        return None
-
-
-def commit_current_version(index_dir: str, version: int) -> None:
-    """Atomically flip the live-version pointer (write-temp + os.replace
-    — POSIX-atomic; the Iceberg-snapshot-commit analog). Everything under
-    v{version} must be fully written before calling this."""
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = _current_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(f"{version}\n")
-    os.replace(tmp, _current_path(index_dir))
-
-
-def version_dir(index_dir: str, version: int) -> str:
-    return os.path.join(index_dir, f"v{version}")
+from semcode_spark.sources.tableio import (  # noqa: E402
+    commit_current_version, read_current_version, version_dir,
+)
+from semcode_spark.sources import tableio as _tio  # noqa: E402
 
 
 def _write_meta(vdir: str, cfg: EngineConfig) -> None:
-    os.makedirs(vdir, exist_ok=True)
-    with open(os.path.join(vdir, "meta.json"), "w") as f:
-        json.dump({"analyzer": cfg.index.analyzer, "layout": LAYOUT}, f)
+    _tio.write_meta(vdir, {"analyzer": cfg.index.analyzer, "layout": LAYOUT})
 
 
 def read_meta(vdir: str) -> dict:
-    try:
-        with open(os.path.join(vdir, "meta.json")) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {"analyzer": "standard", "layout": LAYOUT}
+    meta = _tio.read_meta(vdir)
+    return meta or {"analyzer": "standard", "layout": LAYOUT}
 
 
 # ---------------------------------------------------------------- stats ----

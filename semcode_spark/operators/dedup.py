@@ -51,14 +51,22 @@ def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams. Built with a JVM
-    transform over token positions (no Python, no window shuffle)."""
-    toks = tokens_col(text_col)
+    transform over token positions (no Python, no window shuffle).
+
+    The token array is materialized as a projection FIRST: referencing
+    the tokenize expression inside the transform lambda re-evaluates
+    the full lower+regex-split once PER ARRAY ELEMENT (higher-order
+    functions are interpreted, no common-subexpression elimination
+    across lambda invocations — measured 3.6× slower at sf0.1)."""
+    tok_df = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
+    out = tok_df.select(
+        "doc_id",
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
     # drop degenerate shingles from docs shorter than n tokens

@@ -23,6 +23,7 @@ from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
 from semcode_spark.functions.rounding import fround, fround_sql
 from semcode_spark.operators import dedup as D
 from semcode_spark.operators import multimodal as M
+from semcode_spark.operators import pipeline as P
 from semcode_spark.operators import similarity as S
 from semcode_spark.operators import textstats as T
 from semcode_spark.operators.index_build import (
@@ -430,6 +431,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda spark, sf: T.fingerprint(
         load_table(spark, sf, "documents"))
 
+    # --- training-pipeline ops (operators/pipeline.py) ---
+    def q_pii(spark, sf):
+        # documents carry no PII; inject a deterministic synthetic tail
+        # (email + url + long number) so the scrub has real work —
+        # mirrored verbatim in the oracle SQL
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@mail.example.org or "),
+                F.lit("https://ex.example/p/"), F.col("doc_id").cast("string"),
+                F.lit(" ref "), (F.col("doc_id") * 1234567 + 1000000).cast("string"),
+            ).alias("text"),
+        )
+        return P.pii_scrub(docs)
+    q["pii_scrub"] = q_pii
+
+    def q_sample(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        out = P.stratified_sample(
+            docs, rates={"en": 0.10, "de": 0.50, "es": 1.0}, default_rate=0.05)
+        return out.select("doc_id", "lang")
+    q["stratified_sample"] = q_sample
+
+    def q_pack(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return P.pack_stats(P.pack_sequences(docs, budget=512)).select(
+            "shard", "bin", F.col("n_docs").cast("long").alias("n_docs"),
+            "sum_tokens")
+    q["sequence_pack"] = q_pack
+
     # --- multimodal plumbing (stub decode; md5-derived payloads give a
     # full DuckDB oracle: the SQL regenerates header + byte histogram
     # from media_id while Spark genuinely decodes the binary column) ---
@@ -796,6 +828,49 @@ SELECT doc_id, {ntok} AS n_tokens,
 FROM {toks_l}
 """
     o["doc_fingerprint"] = f"SELECT doc_id, md5({norm}) AS fp FROM documents"
+
+    # --- training-pipeline ops ---
+    from semcode_spark.operators.pipeline import EMAIL_RE, LONG_NUM_RE, URL_RE
+    pii_text = (
+        "(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or "
+        "https://ex.example/p/' || CAST(doc_id AS VARCHAR) || ' ref ' || "
+        "CAST(doc_id * 1234567 + 1000000 AS VARCHAR))"
+    )
+    o["pii_scrub"] = f"""
+WITH base AS (SELECT doc_id, {pii_text} AS t FROM documents),
+s1 AS (SELECT doc_id, t,
+       CAST(len(regexp_extract_all(t, '{URL_RE}')) AS BIGINT) AS n_urls,
+       regexp_replace(t, '{URL_RE}', '<URL>', 'g') AS t1 FROM base),
+s2 AS (SELECT doc_id, n_urls,
+       CAST(len(regexp_extract_all(t1, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       regexp_replace(t1, '{EMAIL_RE}', '<EMAIL>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{LONG_NUM_RE}', '<NUM>', 'g') AS clean,
+       n_urls, n_emails,
+       CAST(len(regexp_extract_all(t2, '{LONG_NUM_RE}')) AS BIGINT) AS n_nums
+FROM s2
+"""
+    samp_h = MD5L.format(expr="CAST(doc_id AS VARCHAR)")
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({samp_h} % 10000) <
+      (CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+                 WHEN 'es' THEN 10000 ELSE 500 END)
+"""
+    o["sequence_pack"] = f"""
+WITH sized AS (SELECT source AS shard, doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+               FROM documents),
+packed AS (SELECT shard, doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 512.0) AS BIGINT) AS bin
+           FROM sized)
+SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM packed GROUP BY 1, 2
+"""
 
     # --- multimodal: regenerate header + byte histogram from media_id
     # via the shared md5 family (synth_media's generative formula);

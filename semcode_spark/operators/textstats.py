@@ -37,7 +37,11 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """Heuristic language ID: argmax of per-language stopword hit counts,
     deterministic tie-break by fixed language priority en > es > de,
     'und' (undetermined) when no marker hits at all."""
-    toks = tokens_col(text_col)
+    # tokenize ONCE per row: the token array is materialized in a first
+    # projection — each expression referencing the raw tokenize column
+    # would re-run lower+regex-split per reference (see dedup.shingles)
+    docs = docs.select(F.col(id_col).alias(id_col), tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     hits = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
     pred = (
@@ -56,7 +60,8 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace/alnum token count + a BPE-ish subword estimate
     (ceil(chars/4) per token, the classic ~4-chars-per-token rule)."""
-    toks = tokens_col(text_col)
+    docs = docs.select(F.col(id_col).alias(id_col), tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
@@ -73,7 +78,9 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Composite: clamp(n_tokens/100) * 0.4 + stop_ratio_norm * 0.3 +
     (1 - punct_ratio) * 0.3 — arbitrary but fixed; what matters is the
     engine-side plan (narrow, codegen) and oracle parity."""
-    toks = tokens_col(text_col)
+    docs = docs.select(F.col(id_col).alias(id_col), F.col(text_col),
+                       tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     stop_hits = _marker_hits(toks, EN_STOPWORDS)

@@ -64,3 +64,50 @@ def test_dim_join_broadcasts(spark):
     r = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
     q = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     assert "BroadcastHashJoin" in plan(q)
+
+
+def test_pipeline_ops_stay_jvm_side(spark, documents):
+    """PII scrub / stratified sample / sequence pack are codegen'd
+    column expressions — no Python eval nodes anywhere."""
+    from semcode_spark.operators import pipeline as P
+
+    for df in (
+        P.pii_scrub(documents),
+        P.stratified_sample(documents, {"en": 0.1}),
+        P.pack_sequences(documents),
+    ):
+        s = plan(df)
+        assert "BatchEvalPython" not in s
+        assert "ArrowEvalPython" not in s
+
+
+def test_pack_sequences_single_shuffle_partitioned_by_shard(spark, documents):
+    """The packing window must partition by shard — one hash exchange,
+    never a global single-partition sort."""
+    from semcode_spark.operators import pipeline as P
+
+    s = plan(P.pack_sequences(documents))
+    assert s.count("Exchange") == 1
+    assert "SinglePartition" not in s
+
+
+def test_wand_query_path_no_wide_join(spark, documents, tmp_path):
+    """The WAND scoring plan: literal term predicates (no per-query
+    BroadcastExchange for query terms), docs join broadcast, no
+    sort-merge join or cartesian product."""
+    from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
+    from semcode_spark.operators.index_build import build_index, read_index
+    from semcode_spark.operators.query import wand_topk
+
+    cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=8, block_size=16))
+    out = str(tmp_path / "planidx")
+    build_index(spark, documents.limit(200), out, cfg=cfg, groups=1, count_rows=False)
+    idx = read_index(spark, out)
+    q = wand_topk(spark, idx, "spark query data", k=10, cfg=cfg, prune=False)
+    s = plan(q)
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s          # docs join (small side broadcast)
+    assert "TakeOrderedAndProject" in s      # top-k never global-sorts
+    # term selection is a pushable literal filter, not a join
+    assert "term#" in s and s.count("BroadcastHashJoin") == 1

@@ -116,3 +116,24 @@ def test_query_with_fallback_ladder(spark, index, monkeypatch):
     monkeypatch.setattr(Q, "_score_blocks", real)
     with pytest.raises(ValueError, match="empty query"):
         query_with_fallback(spark, index, "???", k=10, cfg=CFG)
+
+
+def test_serving_mode_matches_cold(spark, documents, index, tmp_path_factory):
+    """cache=True serving mode (persisted tables + driver term dict)
+    returns results identical to the cold path for every query mode."""
+    from semcode_spark.operators.index_build import build_index, read_index
+
+    out = str(tmp_path_factory.mktemp("serving_idx"))
+    build_index(spark, documents, out, cfg=CFG, groups=2, count_rows=False)
+    hot = read_index(spark, out, cache=True)
+    assert "_term_dict" in hot  # tiny vocab → driver dict engaged
+    try:
+        for q in QUERIES:
+            want = wand_topk(spark, index, q, k=10, cfg=CFG, prune=True).collect()
+            for prune in (True, False, "auto"):
+                got = wand_topk(spark, hot, q, k=10, cfg=CFG, prune=prune).collect()
+                assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+                    [(r["doc_id"], round(r["score"], 9)) for r in want], (q, prune)
+    finally:
+        for name in ("docs", "term_stats", "term_bounds", "postings"):
+            hot[name].unpersist()

@@ -677,7 +677,7 @@ jacc AS (SELECT a, b,
         f"WITH {SHINGLES}, {jac} SELECT a, b, jaccard FROM jacc "
         f"WHERE jaccard >= {JACCARD_T}"
     )
-    # Carter-Wegman permutations over one md5 (dedup._minhash_rows_from):
+    # Carter-Wegman permutations over one md5 (dedup._minhash_cols):
     # h1 = digest nibbles 1-15, h2 = nibbles 16-29 mod 2^55, hash_p = h1 + p*h2
     h1 = MD5L.format(expr="shingle")
     h2 = ("(('0x' || substr(md5(shingle), 16, 14))::BIGINT % " + str(1 << 55) + ")")

@@ -17,6 +17,8 @@ array_min / aggregate) — zero Python in the hot path.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,22 +107,13 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ minhash ------
 
-def _minhash_rows(
-    docs: DataFrame, n_perm: int, n: int, text_col: str, id_col: str,
-) -> DataFrame:
-    """(doc_id, p, minh) — MinHash computed relationally: explode
-    shingles × permutations, hash, min-aggregate. Permutation p's hash
-    of shingle s = md5_long('p:' || s).
+def _minhash_cols(sh: DataFrame, n_perm: int) -> DataFrame:
+    """(doc_id, m0..m{n_perm-1}) — MinHash as ONE hash aggregate with
+    n_perm min buffers: shuffle rows = the shingle relation itself, not
+    shingles × n_perm (an earlier explode-per-permutation shape shuffled
+    16× the volume for identical results).
 
-    Deliberately NOT one giant array expression (16 stacked
-    transform+md5 lambdas overflow codegen and fall back to interpreted
-    evaluation, ~10× slower); the explode → partial-min hash agg shape
-    also scales: shuffle rows = docs × n_perm, not docs × shingles."""
-    return _minhash_rows_from(shingles(docs, n, text_col, id_col), n_perm)
-
-
-def _minhash_rows_from(sh: DataFrame, n_perm: int) -> DataFrame:
-    """Carter-Wegman permutations over ONE md5 per shingle: the digest's
+    Carter-Wegman permutations over ONE md5 per shingle: the digest's
     nibbles 1-15 give h1 (60 bits) and 16-29 give h2 (taken mod 2^55);
     permutation p's hash is h1 + p·h2 — for p ≤ 63 this stays under
     2^61, so the arithmetic is overflow-free in both Spark (wrapping
@@ -132,13 +125,10 @@ def _minhash_rows_from(sh: DataFrame, n_perm: int) -> DataFrame:
         (F.conv(F.substring(F.md5(F.col("shingle")), 16, 14), 16, 10).cast("long")
          % F.lit(1 << 55)).alias("h2"),
     )
-    hashed = base.select(
-        "doc_id", "h1", "h2",
-        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
-    ).select(
-        "doc_id", "p", (F.col("h1") + F.col("p") * F.col("h2")).alias("h")
-    )
-    return hashed.groupBy("doc_id", "p").agg(F.min("h").alias("minh"))
+    return base.groupBy("doc_id").agg(*[
+        F.min(F.col("h1") + p * F.col("h2")).alias(f"m{p}")
+        for p in range(n_perm)
+    ])
 
 
 def minhash_signature(
@@ -146,12 +136,9 @@ def minhash_signature(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_perm]) — MinHash over word shingles."""
-    mh = _minhash_rows(docs, n_perm, n, text_col, id_col)
-    return mh.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("p", "minh"))),
-            lambda s: s["minh"],
-        ).alias("sig")
+    mh = _minhash_cols(shingles(docs, n, text_col, id_col), n_perm)
+    return mh.select(
+        "doc_id", F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig")
     )
 
 
@@ -177,17 +164,19 @@ def minhash_lsh_pairs(
     rows_per_band = n_perm // bands
     # the shingle relation feeds minhashing AND the verify stage — cache it
     sh_cached = shingles(docs, n, text_col, id_col).persist()
-    mh = _minhash_rows_from(sh_cached, n_perm)
+    mh = _minhash_cols(sh_cached, n_perm)
+    # band keys row-wise from the signature columns (no second shuffle:
+    # the per-(doc, band) collect_list agg an earlier shape used is pure
+    # overhead once the signature is columnar)
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"m{b * rows_per_band + i}").cast("string")
+            for i in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ])
     banded = (
-        mh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(F.concat_ws(",", F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "minh"))),
-                lambda s: s["minh"].cast("string"),
-            ))).alias("band_key")
-        )
-        .select("doc_id", "band_key")
+        mh.select("doc_id", F.explode(band_keys).alias("band_key"))
         .distinct()
     )
     cand = (
@@ -231,32 +220,32 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash long): tf-weighted sign votes per bit of the
-    term's md5-derived integer. Expressed as explode → conditional agg →
-    bit reassembly (shiftleft+sum) — pure relational, one shuffle."""
+    term's md5-derived integer. ONE hash aggregate with ``bits``
+    conditional-sum buffers over the tf relation — shuffle rows = the
+    tf relation itself, not tf × bits (an earlier explode-per-bit shape
+    shuffled 32× the volume for identical results); bit reassembly is a
+    row-wise sum of the vote columns."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     h = tf.withColumn("h", md5_long_col(F.col("term")))
-    votes = (
-        h.select(
-            "doc_id", "tf", "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .withColumn(
-            "vote",
-            F.when(F.expr("(h >> bit) & 1") == 1,
-                   F.col("tf")).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
+    votes = h.groupBy("doc_id").agg(*[
         F.sum(
-            F.when(F.col("v") > 0, F.expr("cast(1 as bigint) << bit"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ])
+    sim = reduce(
+        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0,
+                                    F.lit(1 << b).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+        range(1, bits),
+        F.when(F.col("v0") > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
     )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,

@@ -490,6 +490,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
     q["streaming_event_stats"] = q_stream
 
+    def q_stream_dedup(spark, sf):
+        # streaming exact-dedup ledger == batch fingerprint groups
+        import tempfile as _tf
+        import uuid
+        from semcode_spark.streaming.incremental import streaming_dedup_groups
+        with _tf.TemporaryDirectory() as ckpt:
+            out = streaming_dedup_groups(
+                spark, os.path.join(sf, "documents.parquet"), ckpt,
+                query_name=f"sd_{uuid.uuid4().hex[:8]}")
+            return spark.createDataFrame(
+                out.select("fp", "keep_id", F.col("n").cast("long").alias("n"))
+                .collect(),
+                "fp string, keep_id long, n long",
+            )
+    q["streaming_dedup_groups"] = q_stream_dedup
+
     def q_stateful(spark, sf):
         # custom stateful operator (applyInPandasWithState): latest
         # running snapshot per event_type == batch aggregate
@@ -662,6 +678,11 @@ grp AS (SELECT fp, CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS keep_i
 SELECT doc_id, fp, group_size,
        CAST(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END AS INT) AS is_dup
 FROM fp JOIN grp USING (fp)
+"""
+    o["streaming_dedup_groups"] = f"""
+SELECT md5({norm}) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
 """
     jac = f"""
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),

@@ -61,6 +61,53 @@ def incremental_index(
     q.awaitTermination()
 
 
+def streaming_dedup_groups(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming exact-dedup summary: content fingerprint groups
+    maintained over a document stream — (fp, keep_id, n) where keep_id
+    is the smallest doc_id of the group (the canonical keep-first
+    policy of dedup.exact_dups, kept deterministic under any arrival
+    order by aggregating min instead of relying on dropDuplicates'
+    arbitrary within-batch pick). availableNow micro-batches into a
+    complete-mode memory sink; exactly-once via the stream checkpoint.
+
+    At web scale this is the continuously-maintained dedup ledger a
+    crawl pipeline keeps in front of the indexer: new fingerprints pass
+    through, re-crawled content lands in an existing group."""
+    from semcode_spark.functions.tokenize import tokens_col
+
+    if os.path.isfile(docs_path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="docs_dedup_stream_")
+        os.symlink(docs_path, os.path.join(d, os.path.basename(docs_path)))
+        docs_path = d
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    fp = stream.select(
+        F.col("doc_id"),
+        F.md5(F.concat_ws(" ", tokens_col("text"))).alias("fp"),
+    )
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = (
+        groups.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def windowed_event_stats(
     events: DataFrame,
     window: str = "1 hour",

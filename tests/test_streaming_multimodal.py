@@ -70,3 +70,23 @@ def test_media_features_shape(spark):
 def test_decode_image_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
         M.decode_image(M.synth_media(spark, 1))
+
+
+def test_streaming_dedup_groups_match_batch(spark, tmp_path):
+    """The streaming dedup ledger equals the batch fingerprint groups,
+    and is insensitive to micro-batch arrival order (min-agg policy)."""
+    import os
+    from semcode_spark.streaming.incremental import streaming_dedup_groups
+    from semcode_spark.operators.dedup import exact_dups
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    out = streaming_dedup_groups(
+        spark, os.path.join(sf, "documents.parquet"), str(tmp_path / "ckpt"),
+        query_name="sd_test")
+    got = {r["fp"]: (r["keep_id"], r["n"]) for r in out.collect()}
+    want = {}
+    for r in exact_dups(docs).collect():
+        k, n = want.get(r["fp"], (r["doc_id"], 0))
+        want[r["fp"]] = (min(k, r["doc_id"]), r["group_size"])
+    assert got == want

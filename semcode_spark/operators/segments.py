@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.operators.index_build import (
+    _completed as _completed_for,
     _manifest_append, commit_current_version, corpus_stats, doc_stats,
     encoded_postings, live_postings_flat, read_current_version, read_index,
     read_meta, term_doc_tf, term_stats, version_dir, write_term_bounds,
@@ -171,8 +172,11 @@ def compact_segments(
     spark: SparkSession,
     index_dir: str,
     cfg: EngineConfig = DEFAULT,
+    groups: int = 1,
+    resume: bool = False,
     keep_old_version: bool = False,
     fail_before_commit: bool = False,
+    fail_after_group: int | None = None,
 ) -> dict:
     """Decode-merge all live segments into a fresh snapshot version:
     postings are decoded (never re-tokenized), tombstoned docs dropped
@@ -181,9 +185,18 @@ def compact_segments(
     return identical results (tests/test_segments.py).
 
     The new version v{N+1} is built COMPLETELY, then the CURRENT pointer
-    flips atomically; ``fail_before_commit`` injects a crash just before
-    the flip for the crash-safety test (the old version must stay
-    readable). ``keep_old_version`` skips the post-commit cleanup of
+    flips atomically — a crash at ANY point before the flip leaves v{N}
+    readable. ``groups`` is the checkpoint grain of the rewrite itself
+    (the same contract as build_index): each bucket group commits a
+    version-scoped manifest row, so at 10^12 docs a crashed compaction
+    retried with ``resume=True`` skips completed groups instead of
+    redoing the whole rewrite. Compaction is a single-writer operation:
+    segments added to v{N} after the live view is captured would be
+    dropped by the flip — serialize compaction with ingest (the
+    reference serializes jobs the same way, api/jobs.py).
+
+    ``fail_before_commit`` / ``fail_after_group`` inject crashes for the
+    safety tests. ``keep_old_version`` skips post-commit cleanup of
     v{N} (e.g. while concurrent readers may still hold it open)."""
     t0 = time.time()
     version = read_current_version(index_dir)
@@ -192,43 +205,47 @@ def compact_segments(
     new_version = version + 1
     vnew = version_dir(index_dir, new_version)
     man_dir = os.path.join(index_dir, "manifest")
+    done = _completed_for(spark, man_dir, new_version) if resume else set()
 
     idx = read_index(spark, index_dir)
     docs_live = idx["docs"].persist()
     try:
         cs = corpus_stats(docs_live).collect()[0]
         n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+        thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
 
-        shutil.rmtree(vnew, ignore_errors=True)  # idempotent retry
-        _write_meta(vnew, cfg)
-
-        docs_live.write.mode("overwrite").parquet(
-            os.path.join(vnew, "docs", "seg=0"))
-        spark.createDataFrame(
-            [(n_docs, avgdl)], "n_docs long, avgdl double"
-        ).write.mode("overwrite").parquet(os.path.join(vnew, "corpus", "seg=0"))
+        if "stats" not in done:
+            _write_meta(vnew, cfg)
+            docs_live.write.mode("overwrite").parquet(
+                os.path.join(vnew, "docs", "seg=0"))
+            spark.createDataFrame(
+                [(n_docs, avgdl)], "n_docs long, avgdl double"
+            ).write.mode("overwrite").parquet(os.path.join(vnew, "corpus", "seg=0"))
+            idx["term_stats"].withColumn(
+                "is_hot", F.col("df") > thr
+            ).write.mode("overwrite").parquet(
+                os.path.join(vnew, "term_stats", "seg=0"))
+            _manifest_append(spark, man_dir, "stats", -1, "completed",
+                             n_docs, time.time() - t0, new_version)
+        hot = [r["term"] for r in idx["term_stats"].filter(F.col("df") > thr)
+               .select("term").collect()]
 
         flat = live_postings_flat(idx)
         tf = flat.join(docs_live, "doc_id").select("term", "doc_id", "doc_len", "tf")
+        enc_all = encoded_postings(tf, avgdl, hot, cfg)
+        for g in range(groups):
+            if f"group={g}" in done:
+                continue
+            tg = time.time()
+            part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
+            part.write.mode("overwrite").parquet(
+                os.path.join(vnew, "postings", f"group={g}"))
+            rows = write_term_bounds(spark, vnew, g)
+            _manifest_append(spark, man_dir, "postings", g, "completed",
+                             rows, time.time() - tg, new_version)
+            if fail_after_group is not None and g >= fail_after_group:
+                raise RuntimeError(f"injected failure after compaction group {g}")
 
-        thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
-        ts = idx["term_stats"].persist()
-        ts.withColumn("is_hot", F.col("df") > thr).write.mode("overwrite").parquet(
-            os.path.join(vnew, "term_stats", "seg=0"))
-        hot = [r["term"] for r in ts.filter(F.col("df") > thr)
-               .select("term").collect()]
-        ts.unpersist()
-
-        enc = encoded_postings(tf, avgdl, hot, cfg)
-        enc.write.mode("overwrite").parquet(os.path.join(vnew, "postings", "group=0"))
-        write_term_bounds(spark, vnew, 0)
-
-        # manifest rows for the new version (version-scoped: invisible
-        # under the still-current version; complete before the flip)
-        _manifest_append(spark, man_dir, "stats", -1, "completed",
-                         n_docs, time.time() - t0, new_version)
-        _manifest_append(spark, man_dir, "postings", 0, "completed",
-                         n_docs, time.time() - t0, new_version)
         _manifest_append(spark, man_dir, "compaction", new_version, "completed",
                          n_docs, time.time() - t0, new_version)
 
@@ -243,5 +260,5 @@ def compact_segments(
     if not keep_old_version:
         # post-commit cleanup; a crash here leaves a harmless orphan dir
         shutil.rmtree(version_dir(index_dir, version), ignore_errors=True)
-    return {"n_docs": n_docs, "version": new_version,
+    return {"n_docs": n_docs, "version": new_version, "groups": groups,
             "wall_s": time.time() - t0}

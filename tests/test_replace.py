@@ -137,3 +137,32 @@ def test_partial_segment_is_invisible(spark, documents, tmp_path, monkeypatch):
     full_dir = str(tmp_path / "full")
     build_index(spark, documents, full_dir, cfg=CFG, groups=1, count_rows=False)
     assert _run(spark, idx2) == _run(spark, read_index(spark, full_dir))
+
+
+def test_compaction_resume_skips_completed_groups(spark, recrawl, tmp_path):
+    """Group-checkpointed compaction: crash after group 0 → the old
+    snapshot stays live; resume completes only the remaining groups
+    (manifest shows group 0 once) and answers are preserved."""
+    import pyspark.sql.functions as SF
+
+    base, re_docs, _ = recrawl
+    d = str(tmp_path / "cresume")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    add_segment(spark, d, re_docs, cfg=CFG)
+    before = _run(spark, read_index(spark, d))
+
+    with pytest.raises(RuntimeError, match="injected failure after compaction group 0"):
+        compact_segments(spark, d, cfg=CFG, groups=3, fail_after_group=0)
+    assert read_current_version(d) == 0
+    assert _run(spark, read_index(spark, d)) == before
+
+    compact_segments(spark, d, cfg=CFG, groups=3, resume=True)
+    assert read_current_version(d) == 1
+    idx = read_index(spark, d)
+    assert _run(spark, idx) == before
+    assert idx["postings"].select("group").distinct().count() == 3
+    man = spark.read.parquet(d + "/manifest")
+    # group 0 of the compaction rewrite was committed once, not redone
+    assert man.filter(
+        (SF.col("version") == 1) & (SF.col("stage") == "postings")
+        & (SF.col("group") == 0)).count() == 1

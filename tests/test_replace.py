@@ -166,3 +166,27 @@ def test_compaction_resume_skips_completed_groups(spark, recrawl, tmp_path):
     assert man.filter(
         (SF.col("version") == 1) & (SF.col("stage") == "postings")
         & (SF.col("group") == 0)).count() == 1
+
+
+def test_add_and_replace_after_compaction(spark, documents, recrawl, tmp_path):
+    """Full lifecycle: build → replace → compact → replace again on the
+    compacted snapshot; final answers equal a fresh build of the final
+    corpus (group numbering and tombstones survive the version flip)."""
+    base, re_docs, fresh = recrawl
+    d = str(tmp_path / "lifecycle")
+    build_index(spark, base, d, cfg=CFG, groups=2, count_rows=False)
+    add_segment(spark, d, re_docs, cfg=CFG)
+    compact_segments(spark, d, cfg=CFG, groups=2)
+
+    # second recrawl wave on the compacted snapshot: docs 200-219 change
+    re2 = (documents.filter("doc_id >= 200 and doc_id < 220")
+           .withColumn("text", F.concat(F.lit("second wave "), F.col("text"))))
+    out = add_segment(spark, d, re2, cfg=CFG)
+    assert out["n_replaced"] == 20
+
+    final = (fresh.filter("doc_id < 200 or doc_id >= 220")
+             .union(re2.select("doc_id", "text")))
+    full_dir = str(tmp_path / "full2")
+    build_index(spark, final, full_dir, cfg=CFG, groups=1, count_rows=False)
+    assert _run(spark, read_index(spark, d)) == \
+        _run(spark, read_index(spark, full_dir))

@@ -104,6 +104,9 @@ def add_segment(
     try:
         ds = doc_stats(new_docs, id_col, text_col, cfg)
         cs = corpus_stats(ds).collect()[0]
+        if not cs["n_docs"]:  # empty increment: nothing to commit
+            return {"group": -1, "n_docs": 0, "n_replaced": 0,
+                    "wall_s": time.time() - t0}
         n_new, avgdl_seg = int(cs["n_docs"]), float(cs["avgdl"])
 
         # ---- replace bookkeeping: exact negative deltas + tombstones ----

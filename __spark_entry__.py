@@ -96,7 +96,7 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFra
 
 
 _INDEX_CACHE: dict[str, str] = {}
-_INDEX_LAYOUT_VERSION = "v5"  # bump on postings/stats schema changes
+_INDEX_LAYOUT_VERSION = "v6"  # bump on postings/stats schema changes
 
 
 def _docs_fingerprint(sf_dir: str) -> str:
@@ -128,9 +128,12 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             + key.replace("/", "_"),
         )
         cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=16))
-        if not os.path.exists(os.path.join(out, "CURRENT")):
-            build_index(spark, load_table(spark, sf_dir, "documents"), out,
-                        cfg=cfg, groups=2)
+        # always run with resume=True: a completed build is a cheap
+        # manifest check, while a half-built dir from a killed earlier
+        # run (CURRENT commits before the data stages) gets FINISHED
+        # instead of silently served with missing postings groups
+        build_index(spark, load_table(spark, sf_dir, "documents"), out,
+                    cfg=cfg, groups=2, resume=True)
         _INDEX_CACHE[key] = out
     return read_index(spark, _INDEX_CACHE[key])
 

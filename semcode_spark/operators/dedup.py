@@ -237,10 +237,12 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
         ).alias(f"v{b}")
         for b in range(bits)
     ])
+    # shift via SQL expr, not F.lit(1 << b): a Python literal 1<<63
+    # exceeds LongType range (bits=64 is the standard simhash width)
     sim = reduce(
-        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0,
-                                    F.lit(1 << b).cast("long"))
-        .otherwise(F.lit(0).cast("long")),
+        lambda acc, b: acc + F.when(
+            F.col(f"v{b}") > 0, F.expr(f"cast(1 as bigint) << {b}")
+        ).otherwise(F.lit(0).cast("long")),
         range(1, bits),
         F.when(F.col("v0") > 0, F.lit(1).cast("long"))
         .otherwise(F.lit(0).cast("long")),

@@ -49,8 +49,9 @@ Persistent layout (layout 2 — versioned, snapshot-committed):
                               (reference provider-selection contract,
                               embeddings/providers.py:34-104).
         docs/seg=S/           doc_id, doc_len
-        corpus/seg=S/         n_docs, avgdl   (replace writes negative
-                              delta rows; read aggregates exactly)
+        corpus/seg=S/         n_docs, sum_dl  (integer sums, so replace
+                              deltas cancel EXACTLY on read; avgdl is
+                              derived as sum(sum_dl)/sum(n_docs))
         term_stats/seg=S/     term, df, cf, is_hot  (delta rows too)
         term_bounds/group=G/  per-term block-max metadata: max_w,
                               n_blocks, best_salt, best_block, avgdl_enc
@@ -480,7 +481,7 @@ def build_index(
     try:
         if "stats" in done:
             cs = spark.read.parquet(os.path.join(vdir, "corpus")).collect()[0]
-            n_docs, avgdl = cs["n_docs"], cs["avgdl"]
+            n_docs, avgdl = cs["n_docs"], cs["sum_dl"] / cs["n_docs"]
             hot = [
                 r["term"] for r in spark.read.parquet(os.path.join(vdir, "term_stats"))
                 .filter(F.col("is_hot")).select("term").collect()
@@ -490,15 +491,20 @@ def build_index(
             ds = doc_stats(docs, id_col, text_col, cfg)
             ds.write.mode("overwrite").parquet(os.path.join(vdir, "docs", "seg=0"))
             # aggregate over the *written* table — avoids re-tokenizing
-            # the whole corpus for one tiny agg
-            cs = corpus_stats(
-                spark.read.parquet(os.path.join(vdir, "docs", "seg=0"))
+            # the whole corpus for one tiny agg. Stored as (n_docs,
+            # sum_dl), NOT an average: integer sums merge/cancel exactly
+            # across segments and replace deltas; an n·avg reconstruction
+            # is off by ulps (doc replacement demands exact stats)
+            cs = spark.read.parquet(os.path.join(vdir, "docs", "seg=0")).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_len").cast("double").alias("sum_dl"),
             ).collect()[0]
-            n_docs, avgdl = cs["n_docs"], cs["avgdl"]
+            n_docs = cs["n_docs"]
             if not n_docs:
                 raise ValueError("cannot build an index over an empty corpus")
+            avgdl = cs["sum_dl"] / n_docs
             spark.createDataFrame(
-                [(int(n_docs), float(avgdl))], "n_docs long, avgdl double"
+                [(int(n_docs), float(cs["sum_dl"]))], "n_docs long, sum_dl double"
             ).write.mode("overwrite").parquet(os.path.join(vdir, "corpus", "seg=0"))
             ts = term_stats(tf, cfg)
             thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
@@ -563,7 +569,12 @@ def _completed(spark: SparkSession, man_dir: str, version: int) -> set[str]:
         (F.col("status") == "completed") & (F.col("version") == version)
     ).collect()
     for r in rows:
-        out.add("stats" if r["stage"] == "stats" else f"group={r['group']}")
+        if r["stage"] == "stats":
+            out.add("stats")
+        elif r["stage"] in ("postings", "segment"):
+            # only data-bearing stages map to groups — a 'compaction'
+            # observability row must never mark group=<version> done
+            out.add(f"group={r['group']}")
     return out
 
 
@@ -642,7 +653,7 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
         F.col("seg").isin(seg_list))
     corpus = corpus_raw.agg(
         F.sum("n_docs").alias("n_docs"),
-        (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs")).alias("avgdl"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
     term_stats_raw = spark.read.parquet(os.path.join(vdir, "term_stats")).filter(
         F.col("seg").isin(seg_list))

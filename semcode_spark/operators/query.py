@@ -248,11 +248,16 @@ def wand_topk(
             .collect()
         )
         if len(theta_rows) >= k:
-            # prune against the lower edge of θ's rounding bucket,
-            # never raw θ: rank order is (round(score, d), doc_id),
-            # so equal-bucket docs with smaller doc_id must survive
-            f = 10 ** cfg.bm25.rank_decimals
-            theta_eff = (math.floor(theta_rows[-1]["score"] * f + 0.5) - 0.5) / f
+            # prune one FULL rounding bucket below raw θ, never against
+            # raw θ: rank order is (round(score, d), doc_id), so a doc
+            # whose score rounds into θ's bucket with a smaller doc_id
+            # must survive. 1.5/10^d is provably safe under ANY rounding
+            # family with |round(x)−x| ≤ 0.5/10^d (JVM BigDecimal
+            # HALF_UP vs the floor(x·10^d+0.5) formula can disagree by
+            # an ulp at bucket edges — functions/rounding.py): if
+            # s ≤ θ − 1.5/10^d then round(s) ≤ θ − 1/10^d < round(θ).
+            # Cost: at most one extra bucket's blocks decoded.
+            theta_eff = theta_rows[-1]["score"] - 1.5 / (10 ** cfg.bm25.rank_decimals)
         else:
             theta_eff = -1.0
         # job B: a block of term t survives iff its own bound plus the

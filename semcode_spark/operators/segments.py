@@ -52,11 +52,12 @@ from pyspark.sql import functions as F
 from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.operators.index_build import (
     _completed as _completed_for,
-    _manifest_append, commit_current_version, corpus_stats, doc_stats,
+    _manifest_append, commit_current_version, doc_stats,
     encoded_postings, live_postings_flat, read_current_version, read_index,
     read_meta, term_doc_tf, term_stats, version_dir, write_term_bounds,
     _write_meta,
 )
+from semcode_spark.sources import tableio as _tio
 
 
 def _next_group(spark: SparkSession, index_dir: str, version: int) -> int:
@@ -103,15 +104,17 @@ def add_segment(
     collided: DataFrame | None = None
     try:
         ds = doc_stats(new_docs, id_col, text_col, cfg)
-        cs = corpus_stats(ds).collect()[0]
+        cs = ds.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_len").cast("double").alias("sum_dl")).collect()[0]
         if not cs["n_docs"]:  # empty increment: nothing to commit
             return {"group": -1, "n_docs": 0, "n_replaced": 0,
                     "wall_s": time.time() - t0}
-        n_new, avgdl_seg = int(cs["n_docs"]), float(cs["avgdl"])
+        n_new = int(cs["n_docs"])
+        avgdl_seg = float(cs["sum_dl"]) / n_new
 
         # ---- replace bookkeeping: exact negative deltas + tombstones ----
         n_coll = 0
-        corpus_rows = [(n_new, avgdl_seg)]
+        corpus_rows = [(n_new, float(cs["sum_dl"]))]
         neg_ts: DataFrame | None = None
         if replace and g > 0:
             idx = read_index(spark, index_dir)
@@ -119,10 +122,11 @@ def add_segment(
             collided = idx["docs"].join(F.broadcast(new_ids), "doc_id").persist()
             n_coll = collided.count()
             if n_coll:
-                # corpus delta from the stored doc_len of the removed rows
-                # (exact: n·avg is an integer sum, lossless in a double)
-                old = collided.agg(F.avg("doc_len").alias("avgdl")).collect()[0]
-                corpus_rows.append((-n_coll, float(old["avgdl"])))
+                # corpus delta as the integer doc_len sum of the removed
+                # rows — cancels the stored positive sums EXACTLY on read
+                old = collided.agg(F.sum("doc_len").cast("double")
+                                   .alias("sum_dl")).collect()[0]
+                corpus_rows.append((-n_coll, -float(old["sum_dl"])))
                 # term deltas by decoding the removed docs' live postings
                 dead_tf = live_postings_flat(idx).join(
                     F.broadcast(collided.select("doc_id")), "doc_id")
@@ -134,7 +138,7 @@ def add_segment(
         # ---- idempotent per-segment writes (invisible until manifest) ----
         ds.write.mode("overwrite").parquet(os.path.join(vdir, "docs", f"seg={g}"))
         spark.createDataFrame(
-            corpus_rows, "n_docs long, avgdl double"
+            corpus_rows, "n_docs long, sum_dl double"
         ).write.mode("overwrite").parquet(os.path.join(vdir, "corpus", f"seg={g}"))
 
         ts = term_stats(tf, cfg)
@@ -209,20 +213,37 @@ def compact_segments(
     vnew = version_dir(index_dir, new_version)
     man_dir = os.path.join(index_dir, "manifest")
     done = _completed_for(spark, man_dir, new_version) if resume else set()
+    if resume and done:
+        # the checkpoint grain is part of the partial state: resuming
+        # with a different `groups` would mix pmod(bucket, G) predicates
+        # and silently duplicate/drop buckets
+        prior = read_meta(vnew).get("compaction_groups")
+        if prior is not None and prior != groups:
+            raise ValueError(
+                f"compaction resume with groups={groups} but the partial "
+                f"run used groups={prior}; pass the same grain")
 
     idx = read_index(spark, index_dir)
     docs_live = idx["docs"].persist()
     try:
-        cs = corpus_stats(docs_live).collect()[0]
-        n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+        cs = docs_live.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").cast("double").alias("sum_dl")).collect()[0]
+        n_docs, sum_dl = int(cs["n_docs"]), float(cs["sum_dl"])
+        avgdl = sum_dl / n_docs
         thr = max(2.0, cfg.index.hot_term_df_ratio * n_docs)
 
         if "stats" not in done:
-            _write_meta(vnew, cfg)
+            # the analyzer is the INDEX's property — propagate the old
+            # version's meta; compaction never re-tokenizes, so stamping
+            # cfg's analyzer here would silently re-label the index
+            meta = dict(read_meta(version_dir(index_dir, version)))
+            meta["compaction_groups"] = groups
+            _tio.write_meta(vnew, meta)
             docs_live.write.mode("overwrite").parquet(
                 os.path.join(vnew, "docs", "seg=0"))
             spark.createDataFrame(
-                [(n_docs, avgdl)], "n_docs long, avgdl double"
+                [(n_docs, sum_dl)], "n_docs long, sum_dl double"
             ).write.mode("overwrite").parquet(os.path.join(vnew, "corpus", "seg=0"))
             idx["term_stats"].withColumn(
                 "is_hot", F.col("df") > thr

@@ -81,31 +81,38 @@ def streaming_dedup_groups(
     through, re-crawled content lands in an existing group."""
     from semcode_spark.functions.tokenize import tokens_col
 
+    tmp_dir = None
     if os.path.isfile(docs_path):
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="docs_dedup_stream_")
-        os.symlink(docs_path, os.path.join(d, os.path.basename(docs_path)))
-        docs_path = d
-    stream = spark.readStream.schema(schema).parquet(docs_path)
-    fp = stream.select(
-        F.col("doc_id"),
-        F.md5(F.concat_ws(" ", tokens_col("text"))).alias("fp"),
-    )
-    groups = fp.groupBy("fp").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    q = (
-        groups.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+        tmp_dir = tempfile.mkdtemp(prefix="docs_dedup_stream_")
+        os.symlink(docs_path, os.path.join(tmp_dir, os.path.basename(docs_path)))
+        docs_path = tmp_dir
+    try:
+        stream = spark.readStream.schema(schema).parquet(docs_path)
+        fp = stream.select(
+            F.col("doc_id"),
+            F.md5(F.concat_ws(" ", tokens_col("text"))).alias("fp"),
+        )
+        groups = fp.groupBy("fp").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        q = (
+            groups.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(query_name)
+    finally:
+        if tmp_dir is not None:  # availableNow terminated: files no longer read
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def windowed_event_stats(
@@ -147,21 +154,28 @@ def streaming_event_stats(
     event-time windows end to end."""
     # the file stream source wants a directory; accept a single parquet
     # file by staging a symlink under a temp dir
+    tmp_dir = None
     if os.path.isfile(events_path):
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
-        events_path = d
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    agg = windowed_event_stats(stream, window=window)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("event_stats")
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("event_stats")
+        tmp_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(events_path, os.path.join(tmp_dir, os.path.basename(events_path)))
+        events_path = tmp_dir
+    try:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+        agg = windowed_event_stats(stream, window=window)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("event_stats")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("event_stats")
+    finally:
+        if tmp_dir is not None:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -62,31 +62,38 @@ def running_event_stats(
     """Run the stateful stream (availableNow) into a memory sink and
     return the emitted snapshots; the latest snapshot per key (max n)
     equals the batch aggregate over all data — asserted in tests."""
+    tmp_dir = None
     if os.path.isfile(events_path):
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="events_state_")
-        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
-        events_path = d
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_path)
-    )
-    out = stream.groupBy("event_type").applyInPandasWithState(
-        _update,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+        tmp_dir = tempfile.mkdtemp(prefix="events_state_")
+        os.symlink(events_path, os.path.join(tmp_dir, os.path.basename(events_path)))
+        events_path = tmp_dir
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_path)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(query_name)
+    finally:
+        if tmp_dir is not None:
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -62,3 +62,14 @@ def test_simhash_neardups(tiny):
     out = {(r["a"], r["b"]): r["hamming"]
            for r in D.simhash_neardups(tiny, max_hamming=3).collect()}
     assert out[(0, 3)] == 0
+
+
+def test_simhash_64bit(spark, documents):
+    """bits=64 (the standard simhash width) must not overflow LongType;
+    the top bit lands in the sign position by design."""
+    from semcode_spark.operators.dedup import simhash
+
+    rows = simhash(documents.limit(50), bits=64).collect()
+    assert len(rows) == 50
+    assert all(isinstance(r["simhash"], int) for r in rows)
+    assert any(r["simhash"] != 0 for r in rows)

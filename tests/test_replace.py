@@ -190,3 +190,29 @@ def test_add_and_replace_after_compaction(spark, documents, recrawl, tmp_path):
     build_index(spark, final, full_dir, cfg=CFG, groups=1, count_rows=False)
     assert _run(spark, read_index(spark, d)) == \
         _run(spark, read_index(spark, full_dir))
+
+
+def test_compaction_resume_rejects_grain_change(spark, recrawl, tmp_path):
+    base, re_docs, _ = recrawl
+    d = str(tmp_path / "grain")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    add_segment(spark, d, re_docs, cfg=CFG)
+    with pytest.raises(RuntimeError, match="injected failure after compaction group 0"):
+        compact_segments(spark, d, cfg=CFG, groups=3, fail_after_group=0)
+    with pytest.raises(ValueError, match="compaction resume with groups=4"):
+        compact_segments(spark, d, cfg=CFG, groups=4, resume=True)
+    # correct grain completes
+    compact_segments(spark, d, cfg=CFG, groups=3, resume=True)
+    assert read_current_version(d) == 1
+
+
+def test_compaction_preserves_analyzer(spark, documents, tmp_path):
+    """Compacting with a default cfg must NOT re-label a stop_stem index
+    as standard (postings are never re-tokenized)."""
+    from semcode_spark.config import IndexConfig as IC
+    cfg = EngineConfig(bm25=BM25Config(), index=IC(
+        term_buckets=8, block_size=16, analyzer="stop_stem"))
+    d = str(tmp_path / "an")
+    build_index(spark, documents.limit(100), d, cfg=cfg, groups=1, count_rows=False)
+    compact_segments(spark, d)  # default cfg: analyzer='standard'
+    assert read_index(spark, d)["analyzer"] == "stop_stem"

@@ -283,6 +283,28 @@ def compact_segments(
 
     if not keep_old_version:
         # post-commit cleanup; a crash here leaves a harmless orphan dir
+        # (gc_versions removes those later)
         shutil.rmtree(version_dir(index_dir, version), ignore_errors=True)
     return {"n_docs": n_docs, "version": new_version, "groups": groups,
             "wall_s": time.time() - t0}
+
+
+def gc_versions(index_dir: str) -> list[str]:
+    """Remove version directories other than the live one: orphans from
+    a crash between the CURRENT flip and the old-version cleanup, or an
+    aborted compaction's partial v{N+1}. Never touches the committed
+    snapshot; returns the removed paths. (Iceberg analog: expire
+    snapshots / remove orphan files.)"""
+    import re
+
+    current = read_current_version(index_dir)
+    if current is None:
+        return []
+    removed = []
+    for name in os.listdir(index_dir):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and int(m.group(1)) != current:
+            path = os.path.join(index_dir, name)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed

@@ -216,3 +216,20 @@ def test_compaction_preserves_analyzer(spark, documents, tmp_path):
     build_index(spark, documents.limit(100), d, cfg=cfg, groups=1, count_rows=False)
     compact_segments(spark, d)  # default cfg: analyzer='standard'
     assert read_index(spark, d)["analyzer"] == "stop_stem"
+
+
+def test_gc_versions_removes_only_orphans(spark, documents, tmp_path):
+    from semcode_spark.operators.segments import gc_versions
+    import os
+
+    d = str(tmp_path / "gc")
+    build_index(spark, documents.limit(100), d, cfg=CFG, groups=1, count_rows=False)
+    before = _run(spark, read_index(spark, d))
+    # aborted compaction leaves a partial v1; a stale v7 orphan too
+    with pytest.raises(RuntimeError):
+        compact_segments(spark, d, cfg=CFG, fail_before_commit=True)
+    os.makedirs(os.path.join(d, "v7"))
+    removed = gc_versions(d)
+    assert {os.path.basename(p) for p in removed} == {"v1", "v7"}
+    assert os.path.isdir(os.path.join(d, "v0"))
+    assert _run(spark, read_index(spark, d)) == before

@@ -411,6 +411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.embedding_neardup_pairs(emb, threshold=COS_NEARDUP_T, n_planes=4)
     q["embedding_neardup"] = q_embdup
 
+    def q_ann_ivf(spark, sf):
+        # IVF nlist/nprobe probing (Milvus IVF_FLAT analog) —
+        # deterministic centroids ⇒ full relational DuckDB oracle
+        cands, qs = _qv(spark, sf)
+        return S.ivf_topk(cands, qs, k=K, nlist=16, nprobe=4).select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+    q["ann_ivf_topk"] = q_ann_ivf
+
     # --- text analysis ---
     def q_lang(spark, sf):
         out = T.lang_id(load_table(spark, sf, "documents"))
@@ -791,6 +799,45 @@ cand AS (SELECT DISTINCT query_id, vec_id FROM vb JOIN qb USING (bucket)),
 scored AS (SELECT query_id, vec_id,
            {fround_sql(f"({dot}) / (({nq}) * ({nv}))", 6)} AS cosine
            FROM cand JOIN q USING (query_id) JOIN c USING (vec_id)),
+ranked AS (SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {K}
+"""
+    # IVF nlist/nprobe: deterministic md5-sampled centroids, argmax-cosine
+    # assignment (rounded sim, min-centroid tiebreak), probe top-4 lists
+    def _cos(a: str, b: str) -> str:
+        d = (f"list_sum(list_transform(list_zip({a}, {b}), "
+             f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+        na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        return f"(({d}) / (({na}) * ({nb})))"
+
+    cent_h = MD5L.format(expr="CAST(vec_id AS VARCHAR)")
+    o["ann_ivf_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 5),
+cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+         WHERE vec_id >= 5 ORDER BY {cent_h}, vec_id LIMIT 16),
+sims AS (SELECT c.vec_id, cent.centroid_id,
+         {fround_sql(_cos('v', 'cvec'), 6)} AS sim FROM c CROSS JOIN cent),
+best AS (SELECT vec_id, max(sim) AS bs FROM sims GROUP BY 1),
+assign AS (SELECT vec_id, min(centroid_id) AS list_id
+           FROM sims JOIN best USING (vec_id) WHERE sim = bs GROUP BY 1),
+qsims AS (SELECT query_id, centroid_id,
+          {fround_sql(_cos('qv', 'cvec'), 6)} AS sim FROM q CROSS JOIN cent),
+probed AS (SELECT query_id, centroid_id AS list_id FROM (
+           SELECT query_id, centroid_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, centroid_id) AS rn
+           FROM qsims) _p WHERE rn <= 4),
+cand AS (SELECT query_id, vec_id FROM assign JOIN probed USING (list_id)),
+scored AS (SELECT cand.query_id AS query_id, cand.vec_id AS vec_id,
+           {fround_sql(_cos('v', 'qv'), 6)} AS cosine
+           FROM cand JOIN c ON cand.vec_id = c.vec_id
+                JOIN q ON cand.query_id = q.query_id),
 ranked AS (SELECT query_id, vec_id, cosine,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, vec_id) AS rank

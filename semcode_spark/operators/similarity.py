@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from semcode_spark.functions.hashing import md5_long_col
 from semcode_spark.functions.rounding import fround
 
 
@@ -156,6 +157,92 @@ def lsh_ann_topk(
         F.col(qid_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
         fround(cosine_col(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame, nlist: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF centroids: the ``nlist`` corpus vectors with the
+    smallest portable md5 hash of their id — a uniform pseudo-random
+    sample that every engine reproduces bit-exactly (no k-means RNG; the
+    reference's Milvus IVF_FLAT trains nlist=128 centroids the same
+    spirit, storage/milvus_store.py:78-82). (centroid_id, cvec)."""
+    return (
+        vectors.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
+            md5_long_col(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(nlist)
+        .drop("_h")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id): each vector goes to its most-cosine-similar
+    centroid (rounded similarity, ties → smallest centroid_id — a total
+    order both engines reproduce). Broadcast centroids + map-side
+    partial agg: the shuffle carries one row per vector, never the
+    n×nlist similarity relation."""
+    sims = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("vec_id"), F.col("centroid_id"),
+        fround(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
+    )
+    best = sims.groupBy("vec_id").agg(F.max("sim").alias("bs"))
+    return (
+        sims.join(best, "vec_id")
+        .filter(F.col("sim") == F.col("bs"))
+        .groupBy("vec_id")
+        .agg(F.min("centroid_id").alias("list_id"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 10,
+    nlist: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose inverted list is
+    among the query's ``nprobe`` nearest centroids — the Spark
+    re-expression of Milvus IVF_FLAT nlist/nprobe probing
+    (storage/milvus_store.py:144: nprobe=16 of nlist=128 ⇒ ~12.5% of the
+    corpus scanned; here candidates ≈ nprobe/nlist of the corpus).
+    (query_id, rank, vec_id, cosine); deterministic, DuckDB-oracle-able.
+    """
+    cents = ivf_centroids(vectors, nlist, id_col, vec_col)
+    assign = ivf_assign(vectors, cents, id_col, vec_col)
+    qsims = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(qid_col).alias("query_id"), F.col("centroid_id"),
+        fround(cosine_col(F.col(qvec_col), F.col("cvec")), 6).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id"))
+    probed = (
+        qsims.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+    cand_ids = assign.join(F.broadcast(probed), "list_id").select("query_id", "vec_id")
+    scored = (
+        cand_ids
+        .join(vectors.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
+        .join(F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                         F.col(qvec_col).alias("qv"))), "query_id")
+        .select("query_id", "vec_id",
+                fround(cosine_col(F.col("v"), F.col("qv")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

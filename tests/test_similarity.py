@@ -102,3 +102,38 @@ def test_adaptive_neardup_matches_pinned(spark, embeddings):
         embeddings, threshold=0.25, n_planes=adaptive_planes(n)).collect()
     got = embedding_neardup_pairs(embeddings, threshold=0.25).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivf_topk_recall_and_candidate_mass(spark, embeddings):
+    """IVF probing: candidates ≈ nprobe/nlist of the corpus, recall well
+    above that fraction, lists reasonably balanced, and assignment is
+    partition-invariant (deterministic centroids + rounded-sim argmax)."""
+    from pyspark.sql import functions as F
+    from semcode_spark.operators.similarity import (
+        cosine_topk, ivf_assign, ivf_centroids, ivf_topk)
+
+    qs = embeddings.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    cands = embeddings.filter("vec_id >= 20")
+    n = cands.count()
+
+    exact = cosine_topk(cands, qs, k=10).collect()
+    approx = ivf_topk(cands, qs, k=10, nlist=16, nprobe=8).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    assert recall >= 0.5, recall  # ≥ the scanned fraction on random vectors
+
+    assign = ivf_assign(cands, ivf_centroids(cands, 16))
+    sizes = [r["c"] for r in assign.groupBy("list_id")
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(sizes) == 16
+    assert max(sizes) <= 3 * n / 16  # no degenerate mega-list
+
+    a = sorted(map(tuple, assign.collect()))
+    b = sorted(map(tuple, ivf_assign(
+        cands.repartition(7), ivf_centroids(cands.repartition(5), 16)).collect()))
+    assert a == b, "assignment must not depend on partitioning"

@@ -111,3 +111,23 @@ def test_wand_query_path_no_wide_join(spark, documents, tmp_path):
     assert "TakeOrderedAndProject" in s      # top-k never global-sorts
     # term selection is a pushable literal filter, not a join
     assert "term#" in s and s.count("BroadcastHashJoin") == 1
+
+
+def test_wand_term_filter_pushed_to_postings_scan(spark, documents, tmp_path):
+    """The query-term isin filter must reach the postings parquet scan
+    (PushedFilters: In(term, ...)) — at web scale this is what lets the
+    reader skip row groups via term min/max stats (postings are sorted
+    by term within partitions)."""
+    from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
+    from semcode_spark.operators.index_build import build_index, read_index
+    from semcode_spark.operators.query import wand_topk
+
+    cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(term_buckets=8, block_size=16))
+    out = str(tmp_path / "pushidx")
+    build_index(spark, documents.limit(200), out, cfg=cfg, groups=1, count_rows=False)
+    idx = read_index(spark, out)
+    q = wand_topk(spark, idx, "spark query data", k=10, cfg=cfg, prune=False)
+    s = formatted(q)
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln and "term" in ln]
+    assert pushed, "term filter not pushed to the postings scan"
+    assert any("In(term" in ln for ln in pushed), pushed

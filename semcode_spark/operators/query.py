@@ -74,29 +74,32 @@ def bm25_scores(
 
     Self-contained (computes tf/df/stats from the corpus): used for
     oracle comparison and as the reference result for WAND tests.
+    Corpus stats stay IN the plan (broadcast 1-row aggregate) instead
+    of a driver-side collect — the whole query is one Spark job.
     """
     spark = docs.sparkSession
     toks = analyzer(cfg.index.analyzer)
+    k1, b = cfg.bm25.k1, cfg.bm25.b
     tf = term_doc_tf(docs, id_col, text_col, cfg)
     stats = docs.select(F.size(toks(F.col(text_col))).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("dl").alias("_avgdl"),
+    )
 
     qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
     tstats = tf.join(F.broadcast(qt), "term").groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
+    idf = F.log((F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("_avgdl"))
+    )
     matched = (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(tstats), "term")
-        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .join(F.broadcast(stats))  # 1-row corpus stats, no collect
     )
-    return matched.groupBy("doc_id").agg(
-        F.sum(
-            score_col(F.col("tf"), F.col("doc_len"), F.col("idf"), avgdl, cfg)
-        ).alias("score")
-    )
+    return matched.groupBy("doc_id").agg(F.sum(idf * w).alias("score"))
 
 
 def bm25_topk(

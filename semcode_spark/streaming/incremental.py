@@ -31,6 +31,7 @@ def incremental_index(
     index_dir: str,
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
     max_files_per_trigger: int = 4,
+    cfg=None,
 ) -> None:
     """Maintain a full block index from a document stream: every
     micro-batch becomes one LSM-style segment (operators/segments.py) —
@@ -39,8 +40,10 @@ def incremental_index(
     against the index are rank-identical to a from-scratch batch build
     (tests/test_streaming_multimodal.py). This is the streaming form of
     the reference's resumable async ingestion (api/main.py:246-325)."""
+    from semcode_spark.config import DEFAULT
     from semcode_spark.operators.segments import add_segment
 
+    cfg = cfg or DEFAULT
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -50,7 +53,7 @@ def incremental_index(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        add_segment(batch_df.sparkSession, index_dir, batch_df)
+        add_segment(batch_df.sparkSession, index_dir, batch_df, cfg=cfg)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -298,6 +298,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .limit(10))
     q["q3_topk_revenue"] = q_q3
 
+    def q_q5(spark, sf):
+        # TPC-H Q5-shaped 6-table join chain: two broadcast dims, a
+        # co-located fact-fact join, an equality predicate linking the
+        # supplier and customer nations (the classic "local supplier")
+        c = load_table(spark, sf, "customer")
+        o = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(c, o.o_custkey == c.c_custkey)
+                .join(s, (li.l_suppkey == s.s_suppkey)
+                      & (c.c_nationkey == s.s_nationkey))
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("n_name")
+                .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     .alias("rev_raw"))
+                .select("n_name", fround(F.col("rev_raw"), 2).alias("revenue")))
+    q["q5_local_supplier"] = q_q5
+
     def q_dim(spark, sf):
         n = load_table(spark, sf, "nation")
         r = load_table(spark, sf, "region")
@@ -626,6 +648,17 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+    o["q5_local_supplier"] = f"""
+SELECT n_name, {fround_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
 """
     o["broadcast_dim_join"] = (
         "SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations FROM nation "

@@ -395,8 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: D.ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), threshold=JACCARD_T)
 
+    # eager=True: single-process serving mode — deterministic shingle-
+    # cache release between driver queries (lazy is the library default;
+    # localCheckpoint is fine here, there is exactly one local executor)
     q["dedup_minhash_lsh"] = lambda spark, sf: D.minhash_lsh_pairs(
-        load_table(spark, sf, "documents"), threshold=JACCARD_T)
+        load_table(spark, sf, "documents"), threshold=JACCARD_T, eager=True)
 
     q["simhash_values"] = lambda spark, sf: D.simhash(
         load_table(spark, sf, "documents"))

@@ -145,7 +145,7 @@ def minhash_signature(
 def minhash_lsh_pairs(
     docs: DataFrame, n_perm: int = 16, bands: int = 4, threshold: float = 0.5,
     n: int = 3, text_col: str = "text", id_col: str = "doc_id",
-    eager: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """LSH-banded near-dup detection: band key = md5 over the band's
     signature slice → docs sharing any band are candidates → verified
@@ -154,13 +154,15 @@ def minhash_lsh_pairs(
     At 10^12 docs the band join is the only shuffle that matters; band
     keys are uniform md5 values so it is skew-free by construction.
 
-    ``eager=True`` (default) materializes the (small) result via
-    localCheckpoint and deterministically unpersists the shared shingle
-    cache before returning — a long-lived serving process never keeps
-    the shingle relation pinned in executor memory. ``eager=False``
-    returns the lazy plan (batch-pipeline composition); the caller then
-    owns the cache lifetime via Spark's LRU/ContextCleaner.
-    """
+    ``eager=False`` (default) returns the lazy, fully fault-tolerant
+    plan (batch-pipeline composition); the caller owns the shingle-cache
+    lifetime via Spark's LRU/ContextCleaner. ``eager=True`` is a
+    single-process serving convenience: it materializes the (small)
+    result via localCheckpoint and deterministically unpersists the
+    shared shingle cache before returning. localCheckpoint stores the
+    result in executor-local (non-replicated) storage — on a multi-node
+    cluster an executor loss makes it unrecoverable, so eager is
+    opt-in, never the default."""
     rows_per_band = n_perm // bands
     # the shingle relation feeds minhashing AND the verify stage — cache it
     sh_cached = shingles(docs, n, text_col, id_col).persist()

@@ -464,14 +464,26 @@ def build_index(
     resume test. Returns summary dict.
     """
     t_all = time.time()
+    check_layout(spark, out_dir)
     version = read_current_version(out_dir)
     if version is None:
         version = 0
         _write_meta(version_dir(out_dir, version), cfg)
         commit_current_version(out_dir, version)
     vdir = version_dir(out_dir, version)
+    existing_analyzer = _tio.read_meta(vdir).get("analyzer")
+    if existing_analyzer is not None and existing_analyzer != cfg.index.analyzer:
+        # the same mismatch guard add_segment has: resuming (or silently
+        # extending) an index under a different analyzer produces
+        # postings the query side then mis-tokenizes against
+        if resume:
+            raise ValueError(
+                f"analyzer mismatch: index built with {existing_analyzer!r}, "
+                f"build cfg says {cfg.index.analyzer!r} — resume must use "
+                f"the index's analyzer (or rebuild with resume=False)")
+        _write_meta(vdir, cfg)  # full rebuild re-labels the index
     man_dir = os.path.join(out_dir, "manifest")
-    done = _completed(spark, man_dir, version) if resume else set()
+    done = _verify_done(vdir, _completed(spark, man_dir, version)) if resume else set()
     metrics: list[tuple] = []
 
     # docs is scanned twice (doc_stats + tf); if it is a derived plan
@@ -557,6 +569,60 @@ def _manifest_append(
         [(stage, group, status, int(rows), int(wall_s * 1000), int(version))],
         "stage string, group int, status string, rows long, wall_ms long, version int",
     ).write.mode("append").parquet(man_dir)
+
+
+def _verify_done(vdir: str, done: set[str]) -> set[str]:
+    """Cross-check 'completed' manifest markers against the data on
+    disk. The manifest is append-only, so gc_versions removing an
+    aborted partial version leaves its completed rows behind; a later
+    resume that trusted those rows would skip rewriting stages whose
+    data no longer exists and commit an empty version (the
+    resume-after-gc data-loss path). Markers whose directories are
+    missing are dropped, so resume simply re-runs those stages —
+    idempotent overwrites make that safe."""
+    ok: set[str] = set()
+    for key in done:
+        if key == "stats":
+            if all(os.path.isdir(os.path.join(vdir, d, "seg=0"))
+                   for d in ("docs", "corpus", "term_stats")):
+                ok.add(key)
+        elif key.startswith("group="):
+            g = key.split("=", 1)[1]
+            if (os.path.isdir(os.path.join(vdir, "postings", f"group={g}"))
+                    and os.path.isdir(os.path.join(vdir, "term_bounds", f"group={g}"))):
+                ok.add(key)
+        else:
+            ok.add(key)
+    return ok
+
+
+def check_layout(spark: SparkSession, index_dir: str) -> None:
+    """Reject pre-layout-2 index directories BEFORE any mutation.
+
+    A legacy dir (data but no CURRENT pointer, or a manifest without the
+    'version' column) must not be half-converted: committing CURRENT=0
+    into it and then failing on the legacy manifest schema would leave
+    it in a state neither layout can read. Raise a clear error instead;
+    old indexes must be rebuilt."""
+    if read_current_version(index_dir) is not None:
+        return
+    if not os.path.isdir(index_dir):
+        return
+    legacy_data = [d for d in ("postings", "docs", "term_stats", "corpus")
+                   if os.path.isdir(os.path.join(index_dir, d))]
+    man_dir = os.path.join(index_dir, "manifest")
+    man_cols: list[str] | None = None
+    if os.path.isdir(man_dir):
+        try:
+            man_cols = spark.read.parquet(man_dir).columns
+        except Exception:
+            man_cols = None
+    if legacy_data or (man_cols is not None and "version" not in man_cols):
+        raise ValueError(
+            f"{index_dir} holds a pre-versioned (layout < {LAYOUT}) index "
+            f"(data dirs {legacy_data or ['manifest']} with no CURRENT "
+            f"pointer{' / no version column' if man_cols is not None and 'version' not in man_cols else ''}) "
+            f"— no in-place migration path; rebuild the index")
 
 
 def _completed(spark: SparkSession, man_dir: str, version: int) -> set[str]:

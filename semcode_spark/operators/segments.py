@@ -52,10 +52,10 @@ from pyspark.sql import functions as F
 from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.operators.index_build import (
     _completed as _completed_for,
-    _manifest_append, commit_current_version, doc_stats,
-    encoded_postings, live_postings_flat, read_current_version, read_index,
-    read_meta, term_doc_tf, term_stats, version_dir, write_term_bounds,
-    _write_meta,
+    _manifest_append, _verify_done, check_layout, commit_current_version,
+    doc_stats, encoded_postings, live_postings_flat, read_current_version,
+    read_index, read_meta, term_doc_tf, term_stats, version_dir,
+    write_term_bounds, _write_meta,
 )
 from semcode_spark.sources import tableio as _tio
 
@@ -84,6 +84,7 @@ def add_segment(
     replaced, never double-counted — the reference's force-reingest
     contract."""
     t0 = time.time()
+    check_layout(spark, index_dir)
     version = read_current_version(index_dir)
     if version is None:
         version = 0
@@ -105,11 +106,21 @@ def add_segment(
     try:
         ds = doc_stats(new_docs, id_col, text_col, cfg)
         cs = ds.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.countDistinct("doc_id").alias("n_distinct"),
                     F.sum("doc_len").cast("double").alias("sum_dl")).collect()[0]
         if not cs["n_docs"]:  # empty increment: nothing to commit
             return {"group": -1, "n_docs": 0, "n_replaced": 0,
                     "wall_s": time.time() - t0}
         n_new = int(cs["n_docs"])
+        if int(cs["n_distinct"]) != n_new:
+            # tombstones only detect CROSS-segment collisions; a doc_id
+            # appearing twice in one batch would double-count stats with
+            # no replacement semantics to fall back on — refuse loudly
+            raise ValueError(
+                f"incoming batch has duplicate doc_ids ({n_new} rows, "
+                f"{int(cs['n_distinct'])} distinct) — dropDuplicates or "
+                f"pick a winner upstream; within-batch replacement order "
+                f"is undefined")
         avgdl_seg = float(cs["sum_dl"]) / n_new
 
         # ---- replace bookkeeping: exact negative deltas + tombstones ----
@@ -212,7 +223,12 @@ def compact_segments(
     new_version = version + 1
     vnew = version_dir(index_dir, new_version)
     man_dir = os.path.join(index_dir, "manifest")
-    done = _completed_for(spark, man_dir, new_version) if resume else set()
+    # _verify_done guards the resume-after-gc path: gc_versions removing
+    # an aborted partial v{N+1} leaves its completed manifest rows behind
+    # (the manifest is append-only); trusting them would skip rewriting
+    # deleted stages and commit an empty snapshot
+    done = _verify_done(vnew, _completed_for(spark, man_dir, new_version)) \
+        if resume else set()
     if resume and done:
         # the checkpoint grain is part of the partial state: resuming
         # with a different `groups` would mix pmod(bucket, G) predicates

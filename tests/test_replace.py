@@ -233,3 +233,81 @@ def test_gc_versions_removes_only_orphans(spark, documents, tmp_path):
     assert {os.path.basename(p) for p in removed} == {"v1", "v7"}
     assert os.path.isdir(os.path.join(d, "v0"))
     assert _run(spark, read_index(spark, d)) == before
+
+
+def test_resume_after_gc_rebuilds_missing_stages(spark, recrawl, tmp_path):
+    """ADVICE r2 (high): gc_versions removes an aborted partial v1 but
+    its 'completed' manifest rows survive (append-only manifest). A
+    compact_segments(resume=True) afterwards must NOT trust those rows
+    — it re-runs every stage whose data is gone instead of committing
+    an empty snapshot and destroying the index."""
+    from semcode_spark.operators.segments import gc_versions
+
+    base, re_docs, _ = recrawl
+    d = str(tmp_path / "gcresume")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    add_segment(spark, d, re_docs, cfg=CFG)
+    before = _run(spark, read_index(spark, d))
+
+    # crash mid-compaction: v1 has completed stats + group rows
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact_segments(spark, d, cfg=CFG, groups=2, fail_after_group=0)
+    # the documented cleanup removes the partial v1 ...
+    assert any(p.endswith("v1") for p in gc_versions(d))
+    # ... and the documented retry path must still produce a full index
+    compact_segments(spark, d, cfg=CFG, groups=2, resume=True)
+    assert read_current_version(d) == 1
+    idx = read_index(spark, d)
+    assert idx["corpus"].collect()[0]["n_docs"] == 500
+    assert idx["postings"].select("group").distinct().count() == 2
+    assert _run(spark, idx) == before
+
+
+def test_build_resume_rejects_analyzer_change(spark, documents, tmp_path):
+    """ADVICE r2 (medium): build_index into an existing index dir must
+    enforce the analyzer contract add_segment already enforces."""
+    from semcode_spark.config import IndexConfig as IC
+
+    d = str(tmp_path / "an_guard")
+    build_index(spark, documents.limit(50), d, cfg=CFG, groups=1, count_rows=False)
+    stop_cfg = EngineConfig(bm25=BM25Config(), index=IC(
+        term_buckets=8, block_size=16, analyzer="stop"))
+    with pytest.raises(ValueError, match="analyzer mismatch"):
+        build_index(spark, documents.limit(50), d, cfg=stop_cfg,
+                    groups=1, resume=True, count_rows=False)
+    # a full non-resume rebuild re-labels the index and re-tokenizes
+    build_index(spark, documents.limit(50), d, cfg=stop_cfg,
+                groups=1, count_rows=False)
+    assert read_index(spark, d)["analyzer"] == "stop"
+
+
+def test_add_segment_rejects_intra_batch_duplicates(spark, documents, tmp_path):
+    """A batch containing the same doc_id twice has no defined
+    replacement order — add_segment refuses instead of double-counting."""
+    d = str(tmp_path / "dup_batch")
+    build_index(spark, documents.limit(50), d, cfg=CFG, groups=1, count_rows=False)
+    dup = documents.filter("doc_id >= 50 and doc_id < 60").select("doc_id", "text")
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        add_segment(spark, d, dup.union(dup), cfg=CFG)
+    # stats unchanged: the failed add committed nothing
+    assert read_index(spark, d)["corpus"].collect()[0]["n_docs"] == 50
+
+
+def test_legacy_layout_rejected_before_mutation(spark, documents, tmp_path):
+    """ADVICE r2 (low): a pre-layout-2 dir (data, no CURRENT, 5-column
+    manifest) is rejected up front with a clear error — never
+    half-converted by committing a CURRENT pointer first."""
+    import os
+
+    d = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(d, "postings"))
+    spark.createDataFrame(
+        [("stats", -1, "completed", 10, 5)],
+        "stage string, group int, status string, rows long, wall_ms long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "manifest"))
+    with pytest.raises(ValueError, match="rebuild"):
+        add_segment(spark, d, documents.limit(5), cfg=CFG)
+    assert not os.path.exists(os.path.join(d, "CURRENT"))
+    with pytest.raises(ValueError, match="rebuild"):
+        build_index(spark, documents.limit(5), d, cfg=CFG, groups=1)
+    assert not os.path.exists(os.path.join(d, "CURRENT"))

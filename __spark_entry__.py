@@ -96,7 +96,7 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFra
 
 
 _INDEX_CACHE: dict[str, str] = {}
-_INDEX_LAYOUT_VERSION = "v6"  # bump on postings/stats schema changes
+_INDEX_LAYOUT_VERSION = "v7"  # bump on postings/stats schema changes
 
 
 def _docs_fingerprint(sf_dir: str) -> str:

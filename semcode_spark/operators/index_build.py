@@ -58,6 +58,15 @@ Persistent layout (layout 2 — versioned, snapshot-committed):
                               — lets WAND bootstrap θ without scanning
                               blocks metadata (operators/query.py)
         postings/group=G/     compressed block rows
+        forward/seg=S/        doc_id, term, tf — the forward (pre-explode
+                              tf) relation, range-clustered on doc_id.
+                              Doc replacement computes its exact negative
+                              term-stats deltas from the collided docs'
+                              forward rows alone (parquet row-group
+                              pruning on doc_id), never by decoding the
+                              whole postings store — the reference's
+                              keyed-upsert cost model (cost ∝ upserted
+                              rows, storage/milvus_store.py:87-133)
         tombstones/seg=S/     doc_id, before_group — doc replace marks
                               older postings/doc rows dead; compaction
                               physically drops them
@@ -365,6 +374,39 @@ def live_postings_flat(idx: dict) -> DataFrame:
         idx.get("_n_tombstones", 0))
 
 
+def write_forward(tf: DataFrame, vdir: str, seg: int) -> None:
+    """Persist one segment's forward relation (doc_id, term, tf),
+    range-partitioned + sorted on doc_id so a replace-time doc_id
+    predicate prunes at parquet file/row-group granularity. One extra
+    (narrow, 3-column) shuffle per segment build — the price of
+    O(changed-docs) replacement instead of a full-index decode."""
+    (tf.select("doc_id", "term", "tf")
+     .repartitionByRange(F.col("doc_id"))
+     .sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(os.path.join(vdir, "forward", f"seg={seg}")))
+
+
+def live_forward(idx: dict) -> DataFrame:
+    """Live (doc_id, term, tf) rows of the visible index.
+
+    Served from the stored forward table (no posting-block decode, no
+    Python) when the index has one; legacy indexes without forward/ fall
+    back to decoding the postings store. Tombstone semantics match the
+    postings rule: a forward row of doc d from segment s is dead iff a
+    tombstone (d, before) with s < before exists."""
+    fwd = idx.get("forward")
+    if fwd is None:
+        return live_postings_flat(idx).select("doc_id", "term", "tf")
+    t = idx.get("tombstones")
+    if idx.get("_n_tombstones", 0) and t is not None:
+        tt = t.select(F.col("doc_id").alias("t_id"),
+                      F.col("before_group").alias("t_before"))
+        fwd = fwd.join(
+            tt, (fwd["doc_id"] == tt["t_id"]) & (fwd["seg"] < tt["t_before"]),
+            "left_anti")
+    return fwd.select("doc_id", "term", "tf")
+
+
 # ---------------------------------------------------------------- build ----
 
 def hot_terms(tstats: DataFrame, n_docs: int, cfg: EngineConfig = DEFAULT) -> list[str]:
@@ -526,6 +568,7 @@ def build_index(
             hot = [r["term"] for r in ts_flagged.filter(F.col("is_hot"))
                    .select("term").collect()]
             ts_flagged.unpersist()
+            write_forward(tf, vdir, 0)
             _manifest_append(spark, man_dir, "stats", -1, "completed",
                              n_docs, time.time() - t0, version)
             metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
@@ -586,6 +629,9 @@ def _verify_done(vdir: str, done: set[str]) -> set[str]:
             if all(os.path.isdir(os.path.join(vdir, d, "seg=0"))
                    for d in ("docs", "corpus", "term_stats")):
                 ok.add(key)
+        elif key == "forward":  # compaction's consolidated-forward stage
+            if os.path.isdir(os.path.join(vdir, "forward", "seg=0")):
+                ok.add(key)
         elif key.startswith("group="):
             g = key.split("=", 1)[1]
             if (os.path.isdir(os.path.join(vdir, "postings", f"group={g}"))
@@ -635,8 +681,8 @@ def _completed(spark: SparkSession, man_dir: str, version: int) -> set[str]:
         (F.col("status") == "completed") & (F.col("version") == version)
     ).collect()
     for r in rows:
-        if r["stage"] == "stats":
-            out.add("stats")
+        if r["stage"] in ("stats", "forward"):
+            out.add(r["stage"])
         elif r["stage"] in ("postings", "segment"):
             # only data-bearing stages map to groups — a 'compaction'
             # observability row must never mark group=<version> done
@@ -748,8 +794,13 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
     else:
         docs_live = docs_raw
 
+    fwd_dir = os.path.join(vdir, "forward")
+    forward = (spark.read.parquet(fwd_dir).filter(F.col("seg").isin(seg_list))
+               if os.path.isdir(fwd_dir) else None)
+
     idx: dict = {
         "docs": docs_live.select("doc_id", "doc_len"),
+        "forward": forward,
         "corpus": corpus,
         "term_stats": term_stats_agg,
         "term_bounds": spark.read.parquet(os.path.join(vdir, "term_bounds")).filter(

@@ -20,12 +20,15 @@ Correctness across segments:
 - re-adding an existing doc_id REPLACES it (replace=True, the default):
   tombstones mark the older postings/doc rows dead (filtered at query
   time), and exact negative stats deltas — corpus from the stored
-  doc_len of the removed rows, term df/cf from decoding the removed
-  docs' live postings — keep idf/avgdl identical to a fresh build of
-  the deduplicated corpus (tests/test_segments.py). The delta decode
-  scans the visible postings once (same cost class as one exhaustive
-  query); at web scale, batch re-crawls into few large replace calls
-  and compact periodically to drop tombstones.
+  doc_len of the removed rows, term df/cf from the removed docs' rows
+  in the stored FORWARD table (doc_id, term, tf; range-clustered on
+  doc_id) — keep idf/avgdl identical to a fresh build of the
+  deduplicated corpus (tests/test_segments.py). Delta cost is
+  ∝ the replaced docs' forward rows (row-group-pruned scan + one tiny
+  agg), the reference's keyed-upsert cost model
+  (storage/milvus_store.py:87-133); legacy indexes without forward/
+  fall back to a one-off postings decode. Compact periodically to drop
+  tombstones.
 
 Crash safety:
 - a segment becomes visible only when its manifest row commits
@@ -53,9 +56,9 @@ from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.operators.index_build import (
     _completed as _completed_for,
     _manifest_append, _verify_done, check_layout, commit_current_version,
-    doc_stats, encoded_postings, live_postings_flat, read_current_version,
+    doc_stats, encoded_postings, live_forward, read_current_version,
     read_index, read_meta, term_doc_tf, term_stats, version_dir,
-    write_term_bounds, _write_meta,
+    write_forward, write_term_bounds, _write_meta,
 )
 from semcode_spark.sources import tableio as _tio
 
@@ -138,9 +141,21 @@ def add_segment(
                 old = collided.agg(F.sum("doc_len").cast("double")
                                    .alias("sum_dl")).collect()[0]
                 corpus_rows.append((-n_coll, -float(old["sum_dl"])))
-                # term deltas by decoding the removed docs' live postings
-                dead_tf = live_postings_flat(idx).join(
-                    F.broadcast(collided.select("doc_id")), "doc_id")
+                # term deltas from the collided docs' FORWARD rows —
+                # never a decode of the postings store. The forward
+                # table is range-clustered on doc_id, so a literal
+                # doc_id predicate prunes parquet row groups and the
+                # job's cost is ∝ the replaced docs, not the index
+                # (live_forward falls back to a full decode only for
+                # legacy indexes that predate forward/)
+                live = live_forward(idx)
+                if n_coll <= 10_000:
+                    ids = [r["doc_id"] for r in
+                           collided.select("doc_id").collect()]
+                    dead_tf = live.filter(F.col("doc_id").isin(ids))
+                else:
+                    dead_tf = live.join(
+                        F.broadcast(collided.select("doc_id")), "doc_id")
                 neg_ts = dead_tf.groupBy("term").agg(
                     (-F.count(F.lit(1))).alias("df"),
                     (-F.sum("tf")).alias("cf"),
@@ -167,6 +182,8 @@ def add_segment(
                 "before_group", F.lit(g)
             ).write.mode("overwrite").parquet(
                 os.path.join(vdir, "tombstones", f"seg={g}"))
+
+        write_forward(tf, vdir, g)
 
         enc = encoded_postings(tf, avgdl_seg, hot, cfg)
         enc.write.mode("overwrite").parquet(
@@ -270,8 +287,16 @@ def compact_segments(
         hot = [r["term"] for r in idx["term_stats"].filter(F.col("df") > thr)
                .select("term").collect()]
 
-        flat = live_postings_flat(idx)
-        tf = flat.join(docs_live, "doc_id").select("term", "doc_id", "doc_len", "tf")
+        # the live tf relation comes from the stored forward table (no
+        # posting-block decode; legacy indexes fall back to decoding) —
+        # compaction re-encodes, it never re-tokenizes
+        fwd_live = live_forward(idx)
+        if "forward" not in done:
+            write_forward(fwd_live, vnew, 0)
+            _manifest_append(spark, man_dir, "forward", -1, "completed",
+                             n_docs, time.time() - t0, new_version)
+        tf = fwd_live.join(docs_live, "doc_id").select(
+            "term", "doc_id", "doc_len", "tf")
         enc_all = encoded_postings(tf, avgdl, hot, cfg)
         for g in range(groups):
             if f"group={g}" in done:

@@ -311,3 +311,52 @@ def test_legacy_layout_rejected_before_mutation(spark, documents, tmp_path):
     with pytest.raises(ValueError, match="rebuild"):
         build_index(spark, documents.limit(5), d, cfg=CFG, groups=1)
     assert not os.path.exists(os.path.join(d, "CURRENT"))
+
+
+def test_replace_deltas_read_forward_not_postings(spark, recrawl, tmp_path):
+    """VERDICT r2 #1: the replace-delta job scans the forward table
+    (row-group-pruned by a doc_id predicate), never the postings store
+    and never a Python decode kernel."""
+    from semcode_spark.operators.index_build import live_forward
+
+    base, re_docs, _ = recrawl
+    d = str(tmp_path / "fwd_plan")
+    build_index(spark, base, d, cfg=CFG, groups=2, count_rows=False)
+    idx = read_index(spark, d)
+    assert idx["forward"] is not None
+
+    ids = [r["doc_id"] for r in re_docs.select("doc_id").collect()]
+    delta = (live_forward(idx).filter(F.col("doc_id").isin(ids))
+             .groupBy("term").agg((-F.count(F.lit(1))).alias("df")))
+    delta_plan = delta._sc._jvm.PythonSQLUtils.explainString(
+        delta._jdf.queryExecution(), "formatted")
+    assert "forward" in delta_plan
+    assert "postings" not in delta_plan        # no block decode
+    assert "mapinpandas" not in delta_plan.lower().replace("_", "")
+    assert "PushedFilters: [" in delta_plan    # doc_id predicate reaches the scan
+    assert "doc_id" in delta_plan.split("PushedFilters")[1][:300]
+
+
+def test_replace_falls_back_to_decode_for_legacy_index(spark, recrawl, tmp_path):
+    """An index built before forward/ existed still replaces exactly
+    (one-off postings decode), so old snapshots need no migration."""
+    import os
+    import shutil as _sh
+    from semcode_spark.operators.index_build import version_dir
+
+    base, re_docs, fresh = recrawl
+    d = str(tmp_path / "legacy_fwd")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    _sh.rmtree(os.path.join(version_dir(d, 0), "forward"))
+    idx = read_index(spark, d)
+    assert idx["forward"] is None
+    out = add_segment(spark, d, re_docs, cfg=CFG)
+    assert out["n_replaced"] == 50
+
+    full_dir = str(tmp_path / "legacy_full")
+    build_index(spark, fresh, full_dir, cfg=CFG, groups=1, count_rows=False)
+    inc, full = read_index(spark, d), read_index(spark, full_dir)
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in inc["term_stats"].collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in full["term_stats"].collect()}
+    assert ts_a == ts_b
+    assert _run(spark, inc) == _run(spark, full)

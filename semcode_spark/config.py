@@ -71,6 +71,13 @@ class IndexConfig:
     # corpus (reference embeddings/providers.py:34-104). The name is
     # persisted in the index's meta.json and enforced on read/add.
     analyzer: str = "standard"  # standard | stop | stem | stop_stem
+    # store per-posting token positions (gap+varint, a `pos` binary per
+    # block) so phrase queries are answered from the index instead of
+    # re-scanning the corpus. An index property like the analyzer:
+    # persisted in meta.json, enforced across add_segment, preserved by
+    # compaction. Off by default — positions roughly double posting
+    # bytes and add a collect_list to the build aggregate.
+    store_positions: bool = False
 
 
 @dataclass(frozen=True)

@@ -68,6 +68,43 @@ def decode_doc_ids(buf: bytes) -> np.ndarray:
     return np.cumsum(varint_decode(buf), dtype=np.uint64)
 
 
+def encode_positions(lengths: np.ndarray, flat_positions: np.ndarray) -> bytes:
+    """Per-block positional payload: one varint stream holding the
+    per-doc position COUNTS (block-n entries) followed by the positions
+    themselves, gap-encoded within each doc (first kept absolute).
+    Vectorized: the boundary reset is one fancy-index store."""
+    ln = np.asarray(lengths, dtype=np.uint64)
+    vals = np.asarray(flat_positions, dtype=np.int64)
+    if vals.size:
+        g = np.empty_like(vals)
+        g[0] = vals[0]
+        np.subtract(vals[1:], vals[:-1], out=g[1:])
+        starts = np.zeros(len(ln), dtype=np.int64)
+        np.cumsum(ln[:-1].astype(np.int64), out=starts[1:])
+        g[starts[ln > 0]] = vals[starts[ln > 0]]  # absolute at each doc start
+    else:
+        g = vals
+    return varint_encode(np.concatenate([ln, g.astype(np.uint64)]))
+
+
+def decode_positions(buf: bytes, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_positions → (counts[n_docs], flat positions).
+    Per-doc prefix sums are one global cumsum minus a repeated offset —
+    no Python loop."""
+    allv = varint_decode(buf).astype(np.int64)
+    counts = allv[:n_docs]
+    gaps = allv[n_docs:]
+    if not gaps.size:
+        return counts, gaps
+    c = np.cumsum(gaps)
+    ends = np.cumsum(counts)
+    # offset to subtract for doc i = running sum just before its start
+    offs = np.zeros(n_docs, dtype=np.int64)
+    prev_end = np.r_[0, ends[:-1]]
+    offs[prev_end > 0] = c[prev_end[prev_end > 0] - 1]
+    return counts, c - np.repeat(offs, counts)
+
+
 def bm25_w(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
     """Idf-free BM25 weight: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
 

@@ -112,7 +112,8 @@ from semcode_spark.sources import tableio as _tio  # noqa: E402
 
 
 def _write_meta(vdir: str, cfg: EngineConfig) -> None:
-    _tio.write_meta(vdir, {"analyzer": cfg.index.analyzer, "layout": LAYOUT})
+    _tio.write_meta(vdir, {"analyzer": cfg.index.analyzer, "layout": LAYOUT,
+                           "positions": cfg.index.store_positions})
 
 
 def read_meta(vdir: str) -> dict:
@@ -135,19 +136,33 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def term_doc_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """(term, doc_id, tf, doc_len) — the exploded postings relation.
+                cfg: EngineConfig = DEFAULT,
+                with_positions: bool = False) -> DataFrame:
+    """(term, doc_id, doc_len, tf[, positions]) — the exploded postings
+    relation.
 
     explode + groupBy compiles to a hash aggregate with map-side partial
     combine; doc_len rides along (functionally dependent on doc_id) so
-    the build never needs a doc-stats join."""
+    the build never needs a doc-stats join. ``with_positions`` switches
+    to posexplode and adds the per-(term, doc) sorted token-position
+    array (collect_list buffers grow the aggregate — only paid when the
+    index stores positions for phrase search)."""
     toks_fn = analyzer(cfg.index.analyzer)
-    toks = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         toks_fn(text_col).alias("toks"),
-    ).select("doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    )
+    if not with_positions:
+        toks = base.select("doc_id", F.size("toks").alias("doc_len"),
+                           F.explode("toks").alias("term"))
+        return toks.groupBy("term", "doc_id", "doc_len").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    toks = base.select("doc_id", F.size("toks").alias("doc_len"),
+                       F.posexplode("toks").alias("pos", "term"))
     return toks.groupBy("term", "doc_id", "doc_len").agg(
-        F.count(F.lit(1)).alias("tf")
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
     )
 
 
@@ -223,12 +238,15 @@ def _make_encoder(block_size: int) -> Callable[[Iterator[pd.DataFrame]], Iterato
     return encode_partition
 
 
-def _make_arrow_encoder(block_size: int):
+def _make_arrow_encoder(block_size: int, with_positions: bool = False):
     """mapInArrow twin of _make_encoder: operates on pyarrow
     RecordBatches directly — the term column never materializes as
     Python/pandas string objects (that conversion is pure allocation +
     memory-bandwidth burn at 10^8+ postings). Strings are touched once
-    per (term, salt) *group*, numerics stay numpy views end to end."""
+    per (term, salt) *group*, numerics stay numpy views end to end.
+    ``with_positions`` additionally packs each block's per-doc token
+    positions (counts + in-doc gaps, one varint stream) into a `pos`
+    binary column for index-backed phrase search."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -243,6 +261,14 @@ def _make_arrow_encoder(block_size: int):
             doc_id = tbl["doc_id"].to_numpy(zero_copy_only=False)
             tf = tbl["tf"].to_numpy(zero_copy_only=False)
             w = tbl["w"].to_numpy(zero_copy_only=False)
+            if with_positions:
+                pos_col = tbl["positions"].combine_chunks()
+                pos_len = pc.list_value_length(pos_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos_flat = pos_col.flatten().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos_off = np.zeros(len(pos_len) + 1, dtype=np.int64)
+                np.cumsum(pos_len, out=pos_off[1:])
             n = len(term)
             # group boundaries: adjacent inequality on (term, salt) —
             # vectorized in Arrow/numpy, input is sorted
@@ -257,7 +283,7 @@ def _make_arrow_encoder(block_size: int):
             ends = np.r_[starts[1:], n]
             cols: dict[str, list] = {k: [] for k in (
                 "term", "salt", "block_id", "n", "doc_ids", "tfs",
-                "max_w", "sum_tf", "first_doc", "last_doc")}
+                "max_w", "sum_tf", "first_doc", "last_doc", "pos")}
             for s, e in zip(starts.tolist(), ends.tolist()):
                 t_str = term[s].as_py()  # one Python string per group
                 t_salt = int(salt[s])
@@ -274,7 +300,11 @@ def _make_arrow_encoder(block_size: int):
                     cols["sum_tf"].append(int(tf[b0:b1].sum()))
                     cols["first_doc"].append(int(ids[0]))
                     cols["last_doc"].append(int(ids[-1]))
-            return pa.RecordBatch.from_pydict({
+                    if with_positions:
+                        cols["pos"].append(B.encode_positions(
+                            pos_len[b0:b1],
+                            pos_flat[pos_off[b0]:pos_off[b1]]))
+            out = {
                 "term": pa.array(cols["term"], pa.string()),
                 "salt": pa.array(cols["salt"], pa.int32()),
                 "block_id": pa.array(cols["block_id"], pa.int32()),
@@ -285,7 +315,10 @@ def _make_arrow_encoder(block_size: int):
                 "sum_tf": pa.array(cols["sum_tf"], pa.int64()),
                 "first_doc": pa.array(cols["first_doc"], pa.int64()),
                 "last_doc": pa.array(cols["last_doc"], pa.int64()),
-            })
+            }
+            if with_positions:
+                out["pos"] = pa.array(cols["pos"], pa.binary())
+            return pa.RecordBatch.from_pydict(out)
 
         for rb in batches:
             tbl = pa.Table.from_batches([rb])
@@ -351,6 +384,39 @@ def decode_postings(blocks_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_positions_flat(blocks_df: DataFrame) -> DataFrame:
+    """Positional block rows → (term, group, doc_id, pos), one row per
+    token occurrence of the term. The phrase-search twin of
+    decode_postings: numpy varint/gap decode over Arrow batches, the
+    Python loop is per *block*. ``group`` rides along for the same
+    tombstone anti-join."""
+    from semcode_spark.operators import blocks as B
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms, grps, ids, poss = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
+                counts, flat = B.decode_positions(row.pos, len(d))
+                total = int(counts.sum())
+                ids.append(np.repeat(d, counts))
+                poss.append(flat)
+                terms.append(np.full(total, row.term, dtype=object))
+                grps.append(np.full(total, row.group, dtype=np.int32))
+            yield pd.DataFrame({
+                "term": np.concatenate(terms),
+                "group": np.concatenate(grps),
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+            })
+
+    return blocks_df.select("term", "group", "doc_ids", "pos").mapInPandas(
+        kernel, schema="term string, group int, doc_id long, pos long"
+    )
+
+
 def filter_dead_postings(flat: DataFrame, tombstones: DataFrame | None,
                          n_tombstones: int) -> DataFrame:
     """Drop decoded postings killed by a doc replacement: a posting of
@@ -375,26 +441,38 @@ def live_postings_flat(idx: dict) -> DataFrame:
 
 
 def write_forward(tf: DataFrame, vdir: str, seg: int) -> None:
-    """Persist one segment's forward relation (doc_id, term, tf),
-    range-partitioned + sorted on doc_id so a replace-time doc_id
-    predicate prunes at parquet file/row-group granularity. One extra
-    (narrow, 3-column) shuffle per segment build — the price of
-    O(changed-docs) replacement instead of a full-index decode."""
-    (tf.select("doc_id", "term", "tf")
+    """Persist one segment's forward relation (doc_id, term, tf
+    [, positions]), range-partitioned + sorted on doc_id so a
+    replace-time doc_id predicate prunes at parquet file/row-group
+    granularity. One extra (narrow) shuffle per segment build — the
+    price of O(changed-docs) replacement instead of a full-index
+    decode. Positions (when the index stores them) ride along so
+    compaction can re-encode positional blocks without decoding."""
+    cols = ["doc_id", "term", "tf"]
+    if "positions" in tf.columns:
+        cols.append("positions")
+    (tf.select(*cols)
      .repartitionByRange(F.col("doc_id"))
      .sortWithinPartitions("doc_id")
      .write.mode("overwrite").parquet(os.path.join(vdir, "forward", f"seg={seg}")))
 
 
-def live_forward(idx: dict) -> DataFrame:
-    """Live (doc_id, term, tf) rows of the visible index.
+def live_forward(idx: dict, with_positions: bool = False) -> DataFrame:
+    """Live (doc_id, term, tf[, positions]) rows of the visible index.
 
     Served from the stored forward table (no posting-block decode, no
     Python) when the index has one; legacy indexes without forward/ fall
     back to decoding the postings store. Tombstone semantics match the
     postings rule: a forward row of doc d from segment s is dead iff a
-    tombstone (d, before) with s < before exists."""
+    tombstone (d, before) with s < before exists. ``with_positions``
+    keeps the positions column (compaction of positional indexes);
+    default drops it so replace-delta scans never read those bytes."""
+    cols = ["doc_id", "term", "tf"]
     fwd = idx.get("forward")
+    if with_positions:
+        if fwd is None or "positions" not in fwd.columns:
+            raise ValueError("index stores no positions")
+        cols.append("positions")
     if fwd is None:
         return live_postings_flat(idx).select("doc_id", "term", "tf")
     t = idx.get("tombstones")
@@ -404,7 +482,7 @@ def live_forward(idx: dict) -> DataFrame:
         fwd = fwd.join(
             tt, (fwd["doc_id"] == tt["t_id"]) & (fwd["seg"] < tt["t_before"]),
             "left_anti")
-    return fwd.select("doc_id", "term", "tf")
+    return fwd.select(*cols)
 
 
 # ---------------------------------------------------------------- build ----
@@ -424,8 +502,10 @@ def encoded_postings(
     avgdl: float,
     hot: list[str],
     cfg: EngineConfig = DEFAULT,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """tf (term, doc_id, doc_len, tf) → block-compressed postings.
+    """tf (term, doc_id, doc_len, tf[, positions]) → block-compressed
+    postings (+ a `pos` varint column when the index stores positions).
 
     The single wide shuffle of the build: repartition by
     hash(term, salt) % term_buckets with hot-term salting.
@@ -448,8 +528,13 @@ def encoded_postings(
     sorted_parts = bucketed.repartition(cfg.index.term_buckets, "bucket").sortWithinPartitions(
         "term", "salt", "doc_id"
     )
-    enc = sorted_parts.select("term", "salt", "doc_id", "tf", "w").mapInArrow(
-        _make_arrow_encoder(cfg.index.block_size), schema=POSTINGS_SCHEMA
+    enc_cols = ["term", "salt", "doc_id", "tf", "w"]
+    schema = POSTINGS_SCHEMA
+    if with_positions:
+        enc_cols.append("positions")
+        schema += ", pos binary"
+    enc = sorted_parts.select(*enc_cols).mapInArrow(
+        _make_arrow_encoder(cfg.index.block_size, with_positions), schema=schema
     )
     # re-attach bucket for partition pruning at query time; stamp the
     # avgdl the weights were computed with (segment-merge bound support)
@@ -513,16 +598,22 @@ def build_index(
         _write_meta(version_dir(out_dir, version), cfg)
         commit_current_version(out_dir, version)
     vdir = version_dir(out_dir, version)
-    existing_analyzer = _tio.read_meta(vdir).get("analyzer")
-    if existing_analyzer is not None and existing_analyzer != cfg.index.analyzer:
+    existing_meta = _tio.read_meta(vdir)
+    if existing_meta and (
+        existing_meta.get("analyzer", "standard") != cfg.index.analyzer
+        or existing_meta.get("positions", False) != cfg.index.store_positions
+    ):
         # the same mismatch guard add_segment has: resuming (or silently
-        # extending) an index under a different analyzer produces
-        # postings the query side then mis-tokenizes against
+        # extending) an index under a different analyzer / positions
+        # setting produces postings the query side then misreads
         if resume:
             raise ValueError(
-                f"analyzer mismatch: index built with {existing_analyzer!r}, "
-                f"build cfg says {cfg.index.analyzer!r} — resume must use "
-                f"the index's analyzer (or rebuild with resume=False)")
+                f"index property mismatch: built with analyzer="
+                f"{existing_meta.get('analyzer', 'standard')!r} positions="
+                f"{existing_meta.get('positions', False)}, build cfg says "
+                f"analyzer={cfg.index.analyzer!r} positions="
+                f"{cfg.index.store_positions} — resume must match the "
+                f"index (or rebuild with resume=False)")
         _write_meta(vdir, cfg)  # full rebuild re-labels the index
     man_dir = os.path.join(out_dir, "manifest")
     done = _verify_done(vdir, _completed(spark, man_dir, version)) if resume else set()
@@ -531,7 +622,8 @@ def build_index(
     # docs is scanned twice (doc_stats + tf); if it is a derived plan
     # (e.g. html extraction), persist it for the duration of the build
     docs = docs.persist()
-    tf = term_doc_tf(docs, id_col, text_col, cfg).persist()
+    tf = term_doc_tf(docs, id_col, text_col, cfg,
+                     with_positions=cfg.index.store_positions).persist()
     try:
         if "stats" in done:
             cs = spark.read.parquet(os.path.join(vdir, "corpus")).collect()[0]
@@ -573,7 +665,8 @@ def build_index(
                              n_docs, time.time() - t0, version)
             metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
 
-        enc_all = encoded_postings(tf, float(avgdl), hot, cfg)
+        enc_all = encoded_postings(tf, float(avgdl), hot, cfg,
+                                   with_positions=cfg.index.store_positions)
         for g in range(groups):
             key = f"group={g}"
             if key in done:
@@ -809,6 +902,7 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
             F.col("group").isin(group_list)),
         "tombstones": tombstones,
         "analyzer": read_meta(vdir).get("analyzer", "standard"),
+        "positions_stored": bool(read_meta(vdir).get("positions", False)),
         "_n_tombstones": n_tomb,
         "_dir": out_dir,
         "_version": version,

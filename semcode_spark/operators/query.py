@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.functions.analyzers import analyze_query, analyzer
 from semcode_spark.operators.index_build import (
-    decode_postings, filter_dead_postings, term_doc_tf,
+    decode_positions_flat, decode_postings, filter_dead_postings, term_doc_tf,
 )
 
 
@@ -293,6 +293,55 @@ def wand_topk(
                  F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def phrase_match(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    phrase: str,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Docs containing the exact token phrase, answered FROM THE INDEX
+    (positional postings) — never a corpus re-scan.
+
+    Relational adjacency check: each phrase slot i contributes rows
+    (doc_id, base = pos - i); a doc matches iff some base collects all
+    L distinct slots. The per-slot offset is a literal map lookup
+    (term → slot array; duplicate words in the phrase get multiple
+    slots), so the plan is: prune postings to the phrase's terms
+    (partition/predicate pushdown on the blocks scan) → positional
+    decode of just those blocks → one hash aggregate. Cost scales with
+    the phrase terms' postings, not the corpus.
+
+    Requires an index built with store_positions=True (meta-gated);
+    raises ValueError otherwise — a silent fallback to a corpus scan
+    would hide a 100×-scale regression.
+    """
+    terms = analyze_query(index.get("analyzer", "standard"), phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    if not index.get("positions_stored"):
+        raise ValueError(
+            "index stores no positions — build with "
+            "IndexConfig(store_positions=True) to serve phrase queries")
+    uniq = sorted(set(terms))
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        slots.setdefault(t, []).append(i)
+    blocks = index["postings"].filter(F.col("term").isin(uniq))
+    rows = filter_dead_postings(
+        decode_positions_flat(blocks), index.get("tombstones"),
+        index.get("_n_tombstones", 0))
+    slot_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.array(*[F.lit(i) for i in ss]))
+        for t, ss in slots.items()))
+    aligned = rows.withColumn("slot", F.explode(slot_map[F.col("term")]))
+    hits = (
+        aligned.groupBy("doc_id", (F.col("pos") - F.col("slot")).alias("base"))
+        .agg(F.count_distinct(F.col("slot")).alias("n_slots"))
+        .filter(F.col("n_slots") == len(terms))
+    )
+    return hits.select("doc_id").distinct()
 
 
 def query_with_fallback(

@@ -100,11 +100,18 @@ def add_segment(
             f"{read_meta(vdir).get('analyzer')!r}, segment cfg says "
             f"{cfg.index.analyzer!r} — build and query must share one "
             f"analyzer (reference embeddings/providers.py:34-104)")
+    store_pos = bool(read_meta(vdir).get("positions", False))
+    if store_pos != cfg.index.store_positions:
+        raise ValueError(
+            f"positions mismatch: index stores positions={store_pos}, "
+            f"segment cfg says {cfg.index.store_positions} — a mixed "
+            f"index would silently miss phrase hits in new segments")
     man_dir = os.path.join(index_dir, "manifest")
     g = _next_group(spark, index_dir, version)
 
     new_docs = new_docs.persist()
-    tf = term_doc_tf(new_docs, id_col, text_col, cfg).persist()
+    tf = term_doc_tf(new_docs, id_col, text_col, cfg,
+                     with_positions=store_pos).persist()
     collided: DataFrame | None = None
     try:
         ds = doc_stats(new_docs, id_col, text_col, cfg)
@@ -185,7 +192,8 @@ def add_segment(
 
         write_forward(tf, vdir, g)
 
-        enc = encoded_postings(tf, avgdl_seg, hot, cfg)
+        enc = encoded_postings(tf, avgdl_seg, hot, cfg,
+                               with_positions=store_pos)
         enc.write.mode("overwrite").parquet(
             os.path.join(vdir, "postings", f"group={g}"))
         write_term_bounds(spark, vdir, g)
@@ -289,15 +297,21 @@ def compact_segments(
 
         # the live tf relation comes from the stored forward table (no
         # posting-block decode; legacy indexes fall back to decoding) —
-        # compaction re-encodes, it never re-tokenizes
-        fwd_live = live_forward(idx)
+        # compaction re-encodes, it never re-tokenizes. positions, like
+        # the analyzer, are the INDEX's property: taken from the old
+        # version's meta, never from cfg
+        store_pos = bool(read_meta(version_dir(index_dir, version))
+                         .get("positions", False))
+        fwd_live = live_forward(idx, with_positions=store_pos)
         if "forward" not in done:
             write_forward(fwd_live, vnew, 0)
             _manifest_append(spark, man_dir, "forward", -1, "completed",
                              n_docs, time.time() - t0, new_version)
-        tf = fwd_live.join(docs_live, "doc_id").select(
-            "term", "doc_id", "doc_len", "tf")
-        enc_all = encoded_postings(tf, avgdl, hot, cfg)
+        tf_cols = ["term", "doc_id", "doc_len", "tf"] + (
+            ["positions"] if store_pos else [])
+        tf = fwd_live.join(docs_live, "doc_id").select(*tf_cols)
+        enc_all = encoded_postings(tf, avgdl, hot, cfg,
+                                   with_positions=store_pos)
         for g in range(groups):
             if f"group={g}" in done:
                 continue

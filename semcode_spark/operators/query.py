@@ -380,15 +380,27 @@ def bm25_topk_batch(
     index: dict[str, DataFrame],
     queries: list[tuple[int, str, int]],
     cfg: EngineConfig = DEFAULT,
+    prune: bool | str = "auto",
 ) -> DataFrame:
     """Batched top-k over the block index: (query_id, rank, doc_id, score)
     for every (query_id, text, k) — the throughput-oriented retrieval
     path (amortizes Spark's per-job floor across the whole query set).
 
-    Plan: one decode pass over the blocks of the UNION of query terms →
-    broadcast (query, term) map join → per-(query, doc) score agg →
-    per-query window top-k. Single logical job; scales with the size of
-    the touched postings, never the corpus.
+    Plan: [optional θ-bootstrap job: decode only the UNION of the terms'
+    build-time best blocks, score per query, collect each query's kth
+    best] → one decode pass over the surviving blocks of the union of
+    query terms → per-(query, doc) score agg → per-query window top-k.
+    Scales with the size of the touched postings, never the corpus.
+
+    Pruning is the batch generalization of wand_topk's block-max filter:
+    a block of term t is kept iff ANY query containing t could still
+    reach its θ bucket, i.e. max_w·corr ≥ min over q∋t of
+    (θ_eff_q − (total_ub_q − ub_t)) / idf_t — a literal per-term map,
+    no join. Per query q the survivor set is a superset of q's own
+    single-query survivor set, so every doc in q's true rounded top-k is
+    scored COMPLETELY; docs with a pruned block score < θ_eff_q and
+    cannot displace the k fully-scored bootstrap docs (same argument as
+    wand_topk, per query). Lossless: tests assert pruned == unpruned.
     """
     if "_corpus_row" not in index:
         index["_corpus_row"] = index["corpus"].collect()[0]
@@ -396,41 +408,91 @@ def bm25_topk_batch(
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
-    qt_rows, k_rows = [], []
+    qt_rows, k_rows, q_terms = [], [], {}
     for qid, text, k in queries:
         k_rows.append((qid, k))
-        for t in _query_terms(index, text):
+        q_terms[qid] = _query_terms(index, text)
+        for t in q_terms[qid]:
             qt_rows.append((qid, t))
     if not qt_rows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
     qterms = spark.createDataFrame(qt_rows, "query_id long, term string")
     ks = spark.createDataFrame(k_rows, "query_id long, k int")
+    all_terms = sorted({t for _, t in qt_rows})
     terms = qterms.select("term").distinct()
 
-    tstats = (
-        index["term_stats"].join(F.broadcast(terms), "term")
-        .withColumn("idf", idf_col(F.col("df"), n_docs))
-        .select("term", "idf")
-    )
-    blocks_df = index["postings"].join(F.broadcast(terms), "term")
-    postings = filter_dead_postings(
-        decode_postings(blocks_df), index.get("tombstones"),
-        index.get("_n_tombstones", 0))
+    idfs, term_ubs, best, n_blocks = _term_meta(
+        spark, index, all_terms, n_docs, avgdl)
+    if prune == "auto":
+        prune = n_blocks > cfg.bm25.prune_min_blocks
+
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
     )
-    scored = (
-        postings.join(F.broadcast(tstats), "term")
-        .join(index["docs"], "doc_id")
-        .join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("idf") * w).alias("score"))
-    )
+    idf_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(v)) for t, v in idfs.items()))
+
+    def scored_from(blocks_df: DataFrame) -> DataFrame:
+        postings = filter_dead_postings(
+            decode_postings(blocks_df), index.get("tombstones"),
+            index.get("_n_tombstones", 0))
+        return (
+            postings.withColumn("idf", idf_map[F.col("term")])
+            .join(index["docs"], "doc_id")
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("idf") * w).alias("score"))
+        )
+
+    blocks_df = index["postings"].join(F.broadcast(terms), "term")
+    if prune and term_ubs:
+        # θ bootstrap for ALL queries in one job: each term's single
+        # best block (build-time pointer), scored per query
+        best_pred = None
+        for t, (g, s, bb) in best.items():
+            c = ((F.col("term") == t) & (F.col("group") == g)
+                 & (F.col("salt") == s) & (F.col("block_id") == bb))
+            best_pred = c if best_pred is None else (best_pred | c)
+        win_b = Window.partitionBy("query_id").orderBy(
+            F.round("score", cfg.bm25.rank_decimals).desc(),
+            F.col("doc_id").asc())
+        theta_rows = (
+            scored_from(index["postings"].filter(best_pred))
+            .withColumn("rank", F.row_number().over(win_b))
+            .join(F.broadcast(ks), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("score").alias("kth"),
+                F.max("k").alias("k"))
+            .collect()
+        )
+        eps = 1.5 / (10 ** cfg.bm25.rank_decimals)  # one full rounding
+        theta_eff = {r["query_id"]: (r["kth"] - eps if r["n"] >= r["k"]
+                                     else -1e30) for r in theta_rows}
+        for qid, _, _ in queries:
+            theta_eff.setdefault(qid, -1e30)
+        cutoffs: dict[str, float] = {}
+        for qid, ts in q_terms.items():
+            total_ub = sum(term_ubs.get(t, 0.0) for t in ts)
+            for t in ts:
+                if t not in term_ubs:
+                    continue
+                c = (theta_eff[qid] - (total_ub - term_ubs[t])) / idfs[t]
+                if t not in cutoffs or c < cutoffs[t]:
+                    cutoffs[t] = c
+        cut_map = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.lit(c)) for t, c in cutoffs.items()))
+        adl_corr = F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
+        blocks_df = blocks_df.filter(
+            F.col("max_w") * adl_corr >= cut_map[F.col("term")])
+
     win = Window.partitionBy("query_id").orderBy(
         F.round("score", cfg.bm25.rank_decimals).desc(), F.col("doc_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        scored_from(blocks_df)
+        .withColumn("rank", F.row_number().over(win))
         .join(F.broadcast(ks), "query_id")
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")

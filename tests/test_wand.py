@@ -137,3 +137,29 @@ def test_serving_mode_matches_cold(spark, documents, index, tmp_path_factory):
     finally:
         for name in ("docs", "term_stats", "term_bounds", "postings"):
             hot[name].unpersist()
+
+
+def test_batch_pruning_lossless(spark, documents, tmp_path):
+    """Batched WAND (VERDICT r2 #6): per-query θ bootstrap + min-cutoff
+    block filter returns EXACTLY the unpruned batch answer, including
+    θ-tie buckets and replaced docs."""
+    from pyspark.sql import functions as F
+    from semcode_spark.operators.query import bm25_topk_batch
+    from semcode_spark.operators.segments import add_segment
+
+    d = str(tmp_path / "batchidx")
+    build_index(spark, documents, d, cfg=CFG, groups=2, count_rows=False)
+    add_segment(spark, d, documents.filter("doc_id < 30").withColumn(
+        "text", F.concat(F.lit("fresh spark query data "), F.col("text"))),
+        cfg=CFG)
+    idx = read_index(spark, d)
+    queries = [(0, "spark query data", 10), (1, "dup merge", 10),
+               (2, "the", 5), (3, "table scan", 7), (4, "zzz_nohit", 3),
+               (5, "sort batch window", 10)]
+
+    def rows(prune):
+        out = bm25_topk_batch(spark, idx, queries, cfg=CFG, prune=prune).collect()
+        return sorted((r["query_id"], r["rank"], r["doc_id"],
+                       round(r["score"], 9)) for r in out)
+
+    assert rows(True) == rows(False)

@@ -503,12 +503,19 @@ def encoded_postings(
     hot: list[str],
     cfg: EngineConfig = DEFAULT,
     with_positions: bool = False,
+    bucket_filter: tuple[int, int] | None = None,
 ) -> DataFrame:
     """tf (term, doc_id, doc_len, tf[, positions]) → block-compressed
     postings (+ a `pos` varint column when the index stores positions).
 
     The single wide shuffle of the build: repartition by
     hash(term, salt) % term_buckets with hot-term salting.
+
+    ``bucket_filter=(groups, g)`` restricts the output to buckets with
+    pmod(bucket, groups) == g — applied BEFORE the repartition, so a
+    grouped (checkpointed) build shuffles/sorts/encodes each posting
+    exactly once across all group jobs instead of re-encoding the whole
+    relation per group and discarding (groups-1)/groups of it.
     """
     k1, b = cfg.bm25.k1, cfg.bm25.b
     sf = cfg.index.salt_factor
@@ -525,6 +532,10 @@ def encoded_postings(
     bucketed = salted.withColumn(
         "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(cfg.index.term_buckets)).cast("int")
     )
+    if bucket_filter is not None:
+        n_groups, g = bucket_filter
+        bucketed = bucketed.filter(
+            F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
     sorted_parts = bucketed.repartition(cfg.index.term_buckets, "bucket").sortWithinPartitions(
         "term", "salt", "doc_id"
     )
@@ -548,8 +559,8 @@ def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> int:
     (blocks metadata only — never decodes posting bytes; cost scales
     with #blocks in the group). WAND's θ bootstrap reads this tiny table
     instead of scanning blocks (operators/query.py). Returns the group's
-    block-row count (free from the same pass — saves the separate
-    count job per group)."""
+    block-row count from the same cached pass — the parquet is read
+    once, never re-scanned for the count."""
     blocks = spark.read.parquet(os.path.join(vdir, "postings", f"group={group}"))
     tb = blocks.groupBy("term").agg(
         F.max("max_w").alias("max_w"),
@@ -561,12 +572,13 @@ def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> int:
         F.col("best.salt").alias("best_salt"),
         F.col("best.block_id").alias("best_block"),
         "avgdl_enc",
-    )
-    tb.write.mode("overwrite").parquet(
-        os.path.join(vdir, "term_bounds", f"group={group}"))
-    row = spark.read.parquet(
-        os.path.join(vdir, "term_bounds", f"group={group}")
-    ).agg(F.sum("n_blocks").alias("n")).collect()[0]
+    ).persist()
+    try:
+        tb.write.mode("overwrite").parquet(
+            os.path.join(vdir, "term_bounds", f"group={group}"))
+        row = tb.agg(F.sum("n_blocks").alias("n")).collect()[0]
+    finally:
+        tb.unpersist()
     return int(row["n"] or 0)
 
 
@@ -634,7 +646,17 @@ def build_index(
             ]
         else:
             t0 = time.time()
-            ds = doc_stats(docs, id_col, text_col, cfg)
+            # doc lengths are derived FROM the tf relation — doc_len is
+            # functionally dependent on doc_id there — so the whole
+            # build tokenizes the corpus exactly once (a second
+            # doc_stats pass over 100 TB of text is pure waste). Docs
+            # with zero tokens fall out of tf; the left join against
+            # the id spine restores them with doc_len 0.
+            dl = tf.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+            ds = (docs.select(F.col(id_col).alias("doc_id"))
+                  .join(dl, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("doc_len", F.lit(0)).alias("doc_len")))
             ds.write.mode("overwrite").parquet(os.path.join(vdir, "docs", "seg=0"))
             # aggregate over the *written* table — avoids re-tokenizing
             # the whole corpus for one tiny agg. Stored as (n_docs,
@@ -665,14 +687,18 @@ def build_index(
                              n_docs, time.time() - t0, version)
             metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
 
-        enc_all = encoded_postings(tf, float(avgdl), hot, cfg,
-                                   with_positions=cfg.index.store_positions)
         for g in range(groups):
             key = f"group={g}"
             if key in done:
                 continue
             t0 = time.time()
-            part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
+            # the bucket restriction is applied BEFORE the shuffle
+            # (encoded_postings), so each posting is shuffled/sorted/
+            # encoded once across the whole grouped build
+            part = encoded_postings(
+                tf, float(avgdl), hot, cfg,
+                with_positions=cfg.index.store_positions,
+                bucket_filter=(groups, g) if groups > 1 else None)
             part.write.mode("overwrite").parquet(
                 os.path.join(vdir, "postings", f"group={g}"))
             # bounds derivation runs before the manifest row and yields

@@ -56,7 +56,7 @@ from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.operators.index_build import (
     _completed as _completed_for,
     _manifest_append, _verify_done, check_layout, commit_current_version,
-    doc_stats, encoded_postings, live_forward, read_current_version,
+    encoded_postings, live_forward, read_current_version,
     read_index, read_meta, term_doc_tf, term_stats, version_dir,
     write_forward, write_term_bounds, _write_meta,
 )
@@ -114,7 +114,14 @@ def add_segment(
                      with_positions=store_pos).persist()
     collided: DataFrame | None = None
     try:
-        ds = doc_stats(new_docs, id_col, text_col, cfg)
+        # doc lengths from the tf relation — one tokenize pass per
+        # segment (see build_index); zero-token docs restored via the
+        # id spine with doc_len 0
+        dl = tf.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+        ds = (new_docs.select(F.col(id_col).alias("doc_id"))
+              .join(dl, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("doc_len", F.lit(0)).alias("doc_len")))
         cs = ds.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.countDistinct("doc_id").alias("n_distinct"),
                     F.sum("doc_len").cast("double").alias("sum_dl")).collect()[0]
@@ -310,13 +317,16 @@ def compact_segments(
         tf_cols = ["term", "doc_id", "doc_len", "tf"] + (
             ["positions"] if store_pos else [])
         tf = fwd_live.join(docs_live, "doc_id").select(*tf_cols)
-        enc_all = encoded_postings(tf, avgdl, hot, cfg,
-                                   with_positions=store_pos)
         for g in range(groups):
             if f"group={g}" in done:
                 continue
             tg = time.time()
-            part = enc_all.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
+            # bucket restriction pushed BEFORE the encode shuffle (see
+            # encoded_postings): each posting is re-encoded once across
+            # the whole grouped compaction
+            part = encoded_postings(
+                tf, avgdl, hot, cfg, with_positions=store_pos,
+                bucket_filter=(groups, g) if groups > 1 else None)
             part.write.mode("overwrite").parquet(
                 os.path.join(vnew, "postings", f"group={g}"))
             rows = write_term_bounds(spark, vnew, g)

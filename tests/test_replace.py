@@ -272,7 +272,7 @@ def test_build_resume_rejects_analyzer_change(spark, documents, tmp_path):
     build_index(spark, documents.limit(50), d, cfg=CFG, groups=1, count_rows=False)
     stop_cfg = EngineConfig(bm25=BM25Config(), index=IC(
         term_buckets=8, block_size=16, analyzer="stop"))
-    with pytest.raises(ValueError, match="analyzer mismatch"):
+    with pytest.raises(ValueError, match="property mismatch"):
         build_index(spark, documents.limit(50), d, cfg=stop_cfg,
                     groups=1, resume=True, count_rows=False)
     # a full non-resume rebuild re-labels the index and re-tokenizes

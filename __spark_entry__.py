@@ -432,7 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_planes pinned: the oracle SQL inlines exactly these plane
         # constants (production default is adaptive_planes(corpus size))
         cands, qs = _qv(spark, sf)
-        return S.lsh_ann_topk(cands, qs, k=K, n_planes=4).select(
+        return S.lsh_ann_topk(cands, qs, k=K, n_planes=4, n_tables=8).select(
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
     q["ann_lsh_topk"] = q_ann_lsh
 

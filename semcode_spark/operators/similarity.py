@@ -81,6 +81,27 @@ def adaptive_planes(n_vectors: int, target_bucket: int = 256,
     return min(hi, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def adaptive_tables(n_planes: int, target_recall: float = 0.7,
+                    p_agree: float = 0.55, max_tables: int = 32) -> int:
+    """Table count sized to a recall target: a true neighbor agrees with
+    the query on one random hyperplane with probability p (= 1 − θ/π;
+    0.55 calibrated against the measured recall of the synthetic
+    near-random corpus — the hard case, true 10-NN cosine ≈ 0.3), so one
+    table catches it with p^n_planes and recall ≈ 1 − (1 − p^planes)^tables.
+    Solve for tables. Paired with adaptive_planes this keeps BOTH knobs
+    corpus-derived: more vectors → more planes (bounded bucket work) →
+    more tables (restored recall), candidate mass ≈ tables/2^planes.
+    Measured recall@10 is recorded in the bench JSON every round so
+    regressions are visible, never assumed."""
+    import math
+
+    miss = 1.0 - p_agree ** n_planes
+    if miss <= 0.0 or target_recall >= 1.0:
+        return max_tables
+    n = math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+    return max(1, min(max_tables, n))
+
+
 def plane_values(p: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane: component d of plane p is
     (md5('p:d')[:15 nibbles] % 2001) - 1000 — computed driver-side once
@@ -127,9 +148,9 @@ def _lsh_bucket_planes(vec: Column, dim: int, n_planes: int, first_plane: int) -
 
 def lsh_ann_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 10, n_planes: int | None = None,
-    dim: int = 64, n_tables: int = 8, id_col: str = "vec_id",
+    dim: int = 64, n_tables: int | None = None, id_col: str = "vec_id",
     vec_col: str = "embedding", qid_col: str = "query_id", qvec_col: str = "qvec",
-    n_vectors: int | None = None,
+    n_vectors: int | None = None, target_recall: float = 0.7,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing ≥1 LSH-table bucket
     with the query. (query_id, rank, vec_id, cosine).
@@ -139,11 +160,16 @@ def lsh_ann_topk(
     brute-force crossJoin with an equi-join on bucket keys.
 
     ``n_planes=None`` derives the plane count from the corpus size
-    (adaptive_planes; pass ``n_vectors`` to skip the count job). Pin it
-    explicitly for reproducible cross-engine results."""
+    (adaptive_planes; pass ``n_vectors`` to skip the count job) and
+    ``n_tables=None`` derives the table count from ``target_recall``
+    given that plane count (adaptive_tables) — both knobs corpus-driven
+    by default. Pin both explicitly for reproducible cross-engine
+    results."""
     if n_planes is None:
         n_planes = adaptive_planes(n_vectors if n_vectors is not None
                                    else vectors.count())
+    if n_tables is None:
+        n_tables = adaptive_tables(n_planes, target_recall)
     vb = vectors.select(
         F.col(id_col), F.col(vec_col),
         F.explode(_lsh_tables(F.col(vec_col), dim, n_planes, n_tables)).alias("bucket"),

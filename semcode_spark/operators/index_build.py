@@ -504,6 +504,7 @@ def encoded_postings(
     cfg: EngineConfig = DEFAULT,
     with_positions: bool = False,
     bucket_filter: tuple[int, int] | None = None,
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """tf (term, doc_id, doc_len, tf[, positions]) → block-compressed
     postings (+ a `pos` varint column when the index stores positions).
@@ -516,9 +517,15 @@ def encoded_postings(
     grouped (checkpointed) build shuffles/sorts/encodes each posting
     exactly once across all group jobs instead of re-encoding the whole
     relation per group and discarding (groups-1)/groups of it.
+
+    ``term_buckets`` overrides the config fan-out — bucket ids are
+    group-local (queries never assume a global bucket count), so a
+    small incremental segment can use a small fan-out instead of
+    cfg-many near-empty shuffle partitions.
     """
     k1, b = cfg.bm25.k1, cfg.bm25.b
     sf = cfg.index.salt_factor
+    n_buckets = term_buckets if term_buckets is not None else cfg.index.term_buckets
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
     )
@@ -530,13 +537,13 @@ def encoded_postings(
         ).otherwise(F.lit(0)),
     ).withColumn("w", w.cast("double"))
     bucketed = salted.withColumn(
-        "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(cfg.index.term_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(n_buckets)).cast("int")
     )
     if bucket_filter is not None:
         n_groups, g = bucket_filter
         bucketed = bucketed.filter(
             F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
-    sorted_parts = bucketed.repartition(cfg.index.term_buckets, "bucket").sortWithinPartitions(
+    sorted_parts = bucketed.repartition(n_buckets, "bucket").sortWithinPartitions(
         "term", "salt", "doc_id"
     )
     enc_cols = ["term", "salt", "doc_id", "tf", "w"]
@@ -550,7 +557,7 @@ def encoded_postings(
     # re-attach bucket for partition pruning at query time; stamp the
     # avgdl the weights were computed with (segment-merge bound support)
     return enc.withColumn(
-        "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(cfg.index.term_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(n_buckets)).cast("int")
     ).withColumn("avgdl_enc", F.lit(float(avgdl)))
 
 

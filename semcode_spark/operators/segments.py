@@ -199,8 +199,14 @@ def add_segment(
 
         write_forward(tf, vdir, g)
 
+        # small increments get a small bucket fan-out (bucket ids are
+        # group-local): cfg-many near-empty shuffle partitions are pure
+        # task overhead for a 10^2-doc re-crawl batch, while a 10^9-doc
+        # batch still fans out fully
+        seg_buckets = min(cfg.index.term_buckets, max(8, n_new // 64))
         enc = encoded_postings(tf, avgdl_seg, hot, cfg,
-                               with_positions=store_pos)
+                               with_positions=store_pos,
+                               term_buckets=seg_buckets)
         enc.write.mode("overwrite").parquet(
             os.path.join(vdir, "postings", f"group={g}"))
         write_term_bounds(spark, vdir, g)

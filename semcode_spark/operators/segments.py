@@ -113,6 +113,7 @@ def add_segment(
     tf = term_doc_tf(new_docs, id_col, text_col, cfg,
                      with_positions=store_pos).persist()
     collided: DataFrame | None = None
+    ds: DataFrame | None = None
     try:
         # doc lengths from the tf relation — one tokenize pass per
         # segment (see build_index); zero-token docs restored via the
@@ -121,7 +122,8 @@ def add_segment(
         ds = (new_docs.select(F.col(id_col).alias("doc_id"))
               .join(dl, "doc_id", "left")
               .select("doc_id",
-                      F.coalesce("doc_len", F.lit(0)).alias("doc_len")))
+                      F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
+              .persist())
         cs = ds.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.countDistinct("doc_id").alias("n_distinct"),
                     F.sum("doc_len").cast("double").alias("sum_dl")).collect()[0]
@@ -181,15 +183,17 @@ def add_segment(
             corpus_rows, "n_docs long, sum_dl double"
         ).write.mode("overwrite").parquet(os.path.join(vdir, "corpus", f"seg={g}"))
 
-        ts = term_stats(tf, cfg)
         thr = max(2.0, cfg.index.hot_term_df_ratio * n_new)
-        ts_out = ts.withColumn("is_hot", F.col("df") > thr)
+        ts = term_stats(tf, cfg).withColumn(
+            "is_hot", F.col("df") > thr).persist()
+        ts_out = ts
         if neg_ts is not None:
             ts_out = ts_out.unionByName(neg_ts)
         ts_out.write.mode("overwrite").parquet(
             os.path.join(vdir, "term_stats", f"seg={g}"))
-        hot = [r["term"] for r in ts.filter(F.col("df") > thr)
+        hot = [r["term"] for r in ts.filter("is_hot")
                .select("term").collect()]
+        ts.unpersist()
 
         if n_coll and collided is not None:
             collided.select("doc_id").withColumn(
@@ -218,6 +222,8 @@ def add_segment(
     finally:
         if collided is not None:
             collided.unpersist()
+        if ds is not None:
+            ds.unpersist()
         tf.unpersist()
         new_docs.unpersist()
     return {"group": g, "n_docs": n_new, "n_replaced": n_coll,

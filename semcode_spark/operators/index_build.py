@@ -607,10 +607,31 @@ def build_index(
     Spark job + one manifest append; a rerun with resume=True skips
     completed groups exactly (reference resume contract:
     api/main.py:246-325). ``fail_after_group`` injects a crash for the
-    resume test. Returns summary dict.
+    resume test. Returns summary dict. Single-writer (lease-guarded)
+    like every index mutation.
     """
-    t_all = time.time()
     check_layout(spark, out_dir)
+    lease = _tio.acquire_lease(out_dir, "build_index")
+    try:
+        return _build_index_locked(
+            spark, docs, out_dir, cfg, groups, resume, fail_after_group,
+            id_col, text_col)
+    finally:
+        _tio.release_lease(lease)
+
+
+def _build_index_locked(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: EngineConfig,
+    groups: int,
+    resume: bool,
+    fail_after_group: int | None,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    t_all = time.time()
     version = read_current_version(out_dir)
     if version is None:
         version = 0
@@ -728,6 +749,45 @@ def build_index(
     return {"n_docs": int(n_docs), "avgdl": float(avgdl), "hot_terms": len(hot),
             "groups": groups, "wall_s": wall, "docs_per_sec": int(n_docs) / wall,
             "version": version}
+
+
+def consolidate_small_files(spark: SparkSession, table_dir: str,
+                            keep_threshold: int = 4) -> int:
+    """Rewrite an append-only metadata table (manifest/, metrics/ — one
+    tiny parquet file per committed stage) into a single file. At 10^5
+    groups the per-commit files are real small-file pressure; the data
+    itself is tiny. Rows are preserved verbatim (all versions — the
+    manifest doubles as an audit log). Caller must hold the writer
+    lease; in-flight readers that listed the directory before the swap
+    may see a transient miss locally — the Iceberg TableIO mapping gets
+    this for free from snapshot isolation (rewrite_manifests).
+    Returns the resulting file count."""
+    if not os.path.isdir(table_dir):
+        return 0
+    old = [f for f in os.listdir(table_dir)
+           if not f.startswith((".", "_")) and f != "consolidated"]
+    if len(old) <= keep_threshold:
+        return len(old)
+    df = spark.read.parquet(table_dir)
+    tmp = table_dir.rstrip("/") + "__tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import shutil as _sh
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    n_new = 0
+    for f in os.listdir(tmp):
+        if f.startswith("part-"):
+            os.replace(os.path.join(tmp, f),
+                       os.path.join(table_dir, f"consolidated-{tag}-{f}"))
+            n_new += 1
+    for f in old:
+        try:
+            os.unlink(os.path.join(table_dir, f))
+        except (FileNotFoundError, IsADirectoryError):
+            pass
+    _sh.rmtree(tmp, ignore_errors=True)
+    return n_new
 
 
 def _manifest_append(

@@ -85,9 +85,28 @@ def add_segment(
     """Index new_docs into a fresh segment of an existing (or brand-new)
     index. With replace=True (default), doc_ids already present are
     replaced, never double-counted — the reference's force-reingest
-    contract."""
-    t0 = time.time()
+    contract. Mutations are single-writer: a concurrent add/compact/gc
+    raises ConcurrentWriterError (sources/tableio.acquire_lease) instead
+    of silently losing segments."""
     check_layout(spark, index_dir)
+    lease = _tio.acquire_lease(index_dir, "add_segment")
+    try:
+        return _add_segment_locked(spark, index_dir, new_docs, cfg,
+                                   id_col, text_col, replace)
+    finally:
+        _tio.release_lease(lease)
+
+
+def _add_segment_locked(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    cfg: EngineConfig,
+    id_col: str,
+    text_col: str,
+    replace: bool,
+) -> dict:
+    t0 = time.time()
     version = read_current_version(index_dir)
     if version is None:
         version = 0
@@ -252,14 +271,35 @@ def compact_segments(
     (the same contract as build_index): each bucket group commits a
     version-scoped manifest row, so at 10^12 docs a crashed compaction
     retried with ``resume=True`` skips completed groups instead of
-    redoing the whole rewrite. Compaction is a single-writer operation:
-    segments added to v{N} after the live view is captured would be
-    dropped by the flip — serialize compaction with ingest (the
-    reference serializes jobs the same way, api/jobs.py).
+    redoing the whole rewrite. Compaction is a single-writer operation —
+    ENFORCED by the writer lease: a segment added to v{N} after the live
+    view is captured would be dropped by the flip, so a concurrent
+    add_segment now raises ConcurrentWriterError instead of silently
+    losing data (the reference serializes jobs the same way,
+    api/jobs.py).
 
     ``fail_before_commit`` / ``fail_after_group`` inject crashes for the
     safety tests. ``keep_old_version`` skips post-commit cleanup of
     v{N} (e.g. while concurrent readers may still hold it open)."""
+    lease = _tio.acquire_lease(index_dir, "compact_segments")
+    try:
+        return _compact_segments_locked(
+            spark, index_dir, cfg, groups, resume, keep_old_version,
+            fail_before_commit, fail_after_group)
+    finally:
+        _tio.release_lease(lease)
+
+
+def _compact_segments_locked(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig,
+    groups: int,
+    resume: bool,
+    keep_old_version: bool,
+    fail_before_commit: bool,
+    fail_after_group: int | None,
+) -> dict:
     t0 = time.time()
     version = read_current_version(index_dir)
     if version is None:
@@ -362,6 +402,11 @@ def compact_segments(
         # post-commit cleanup; a crash here leaves a harmless orphan dir
         # (gc_versions removes those later)
         shutil.rmtree(version_dir(index_dir, version), ignore_errors=True)
+    # consolidate the per-commit manifest/metrics files (small-file
+    # pressure at 10^5 groups) — post-commit, under the writer lease
+    from semcode_spark.operators.index_build import consolidate_small_files
+    consolidate_small_files(spark, man_dir)
+    consolidate_small_files(spark, os.path.join(index_dir, "metrics"))
     return {"n_docs": n_docs, "version": new_version, "groups": groups,
             "wall_s": time.time() - t0}
 
@@ -371,17 +416,22 @@ def gc_versions(index_dir: str) -> list[str]:
     a crash between the CURRENT flip and the old-version cleanup, or an
     aborted compaction's partial v{N+1}. Never touches the committed
     snapshot; returns the removed paths. (Iceberg analog: expire
-    snapshots / remove orphan files.)"""
+    snapshots / remove orphan files.) Takes the writer lease — gc racing
+    a live compaction would delete the version being built."""
     import re
 
-    current = read_current_version(index_dir)
-    if current is None:
-        return []
-    removed = []
-    for name in os.listdir(index_dir):
-        m = re.fullmatch(r"v(\d+)", name)
-        if m and int(m.group(1)) != current:
-            path = os.path.join(index_dir, name)
-            shutil.rmtree(path, ignore_errors=True)
-            removed.append(path)
-    return removed
+    lease = _tio.acquire_lease(index_dir, "gc_versions")
+    try:
+        current = read_current_version(index_dir)
+        if current is None:
+            return []
+        removed = []
+        for name in os.listdir(index_dir):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and int(m.group(1)) != current:
+                path = os.path.join(index_dir, name)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed
+    finally:
+        _tio.release_lease(lease)

@@ -70,3 +70,55 @@ def read_meta(vdir: str) -> dict:
             return json.load(f)
     except FileNotFoundError:
         return {}
+
+
+# ------------------------------------------------------------ write lease ---
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to mutate an index a first writer holds."""
+
+
+def acquire_lease(index_dir: str, owner: str, ttl_s: float = 3600.0) -> str:
+    """Single-writer guard for index mutations (add_segment, compaction).
+
+    O_CREAT|O_EXCL on a `_lease` file — atomic on POSIX. A second writer
+    raises ConcurrentWriterError instead of silently racing (the r2
+    failure mode: a segment added during compaction's rewrite would be
+    dropped by the CURRENT flip). A lease older than ``ttl_s`` is
+    presumed abandoned (crashed writer: the file outlives the process)
+    and is broken. Iceberg analog: optimistic commit conflict detection
+    — on a real catalog the snapshot commit itself rejects the loser.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, "_lease")
+    payload = f"{owner} pid={os.getpid()}\n"
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return path
+        except FileExistsError:
+            import time as _t
+
+            try:
+                age = _t.time() - os.path.getmtime(path)
+                with open(path) as f:
+                    holder = f.read().strip()
+            except FileNotFoundError:
+                continue  # holder released between checks — retry
+            if age > ttl_s:
+                os.unlink(path)  # stale: crashed writer
+                continue
+            raise ConcurrentWriterError(
+                f"{index_dir} is locked by another writer ({holder}, "
+                f"{age:.0f}s ago) — index mutations are single-writer; "
+                f"wait, or remove _lease if that writer is known dead")
+    raise ConcurrentWriterError(f"could not acquire lease under {index_dir}")
+
+
+def release_lease(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass

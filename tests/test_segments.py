@@ -76,3 +76,65 @@ def test_compaction_preserves_answers(spark, split_corpus, tmp_path):
     # manifest records the compaction
     man = spark.read.parquet(d + "/manifest")
     assert man.filter("stage = 'compaction'").count() == 1
+
+
+def test_concurrent_writer_lease(spark, documents, tmp_path):
+    """VERDICT r2 #3: a second writer mutating the index while a first
+    holds the lease fails LOUDLY (ConcurrentWriterError), never silently
+    drops segments; a stale lease from a crashed writer is broken."""
+    import os
+    import time as _time
+
+    from semcode_spark.sources.tableio import (
+        ConcurrentWriterError, acquire_lease, release_lease)
+
+    d = str(tmp_path / "lease")
+    build_index(spark, documents.limit(100), d, cfg=CFG, groups=1,
+                count_rows=False)
+    lease = acquire_lease(d, "holder-test")
+    with pytest.raises(ConcurrentWriterError, match="locked by another writer"):
+        add_segment(spark, d, documents.filter("doc_id >= 100 and doc_id < 110"),
+                    cfg=CFG)
+    with pytest.raises(ConcurrentWriterError):
+        compact_segments(spark, d, cfg=CFG)
+    release_lease(lease)
+    # released: mutations proceed
+    out = add_segment(spark, d, documents.filter("doc_id >= 100 and doc_id < 110"),
+                      cfg=CFG)
+    assert out["n_docs"] == 10
+    # stale lease (crashed writer): broken after ttl
+    stale = acquire_lease(d, "crashed-writer")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    out = add_segment(spark, d, documents.filter("doc_id >= 110 and doc_id < 115"),
+                      cfg=CFG)
+    assert out["n_docs"] == 5
+
+
+def test_manifest_consolidation_bounds_files(spark, documents, tmp_path):
+    """Compaction consolidates the per-commit manifest/metrics files;
+    rows (all versions — the audit log) and resume metadata survive."""
+    import os
+
+    d = str(tmp_path / "consol")
+    build_index(spark, documents.limit(200), d, cfg=CFG, groups=3,
+                count_rows=False)
+    for lo in (200, 250, 300):
+        add_segment(spark, d, documents.filter(
+            f"doc_id >= {lo} and doc_id < {lo + 50}"), cfg=CFG)
+    man = os.path.join(d, "manifest")
+    files_before = [f for f in os.listdir(man) if not f.startswith((".", "_"))]
+    assert len(files_before) > 4
+    rows_before = spark.read.parquet(man).count()
+    before = _run(spark, read_index(spark, d))
+
+    compact_segments(spark, d, cfg=CFG, groups=2)
+    files_after = [f for f in os.listdir(man) if not f.startswith((".", "_"))]
+    assert len(files_after) <= 2
+    # every manifest row survived + the compaction's own rows
+    assert spark.read.parquet(man).count() > rows_before
+    assert _run(spark, read_index(spark, d)) == before
+    # further mutations on the consolidated manifest work
+    add_segment(spark, d, documents.filter("doc_id >= 350 and doc_id < 360"),
+                cfg=CFG)
+    assert read_index(spark, d)["corpus"].collect()[0]["n_docs"] == 360

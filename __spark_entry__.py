@@ -211,6 +211,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", "doc_id", F.col("tf").cast("long").alias("tf"))
     q["postings_flat"] = q_postings
 
+    def q_forward(spark, sf):
+        # the forward (doc_id, term, tf) table that makes doc replacement
+        # O(changed docs) — verified bit-equal to the corpus tf relation
+        from semcode_spark.operators.index_build import live_forward
+        idx = _cached_index(spark, sf)
+        return (live_forward(idx)
+                .filter(F.col("term").isin(*AND_TERMS))
+                .select("term", "doc_id", F.col("tf").cast("long").alias("tf")))
+    q["forward_postings"] = q_forward
+
     def q_and(spark, sf):
         tf = term_doc_tf(load_table(spark, sf, "documents"))
         return (tf.filter(F.col("term").isin(*AND_TERMS))
@@ -606,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
     o["postings_flat"] = (
         f"WITH {TOKS}, {TF} SELECT term, doc_id, tf FROM tf WHERE term IN ({terms_in})"
     )
+    o["forward_postings"] = o["postings_flat"]  # forward table == tf relation
     o["conjunctive_and"] = (
         f"WITH {TOKS}, {TF} SELECT doc_id FROM tf WHERE term IN ({terms_in}) "
         f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}"

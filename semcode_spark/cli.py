@@ -1,9 +1,13 @@
 """Thin CLI mirroring the reference's ingest/query UX (cli.py:119-313)
 without the service stack — every command is a Spark job.
 
-    python -m semcode_spark.cli build  --input docs.parquet --output idx/
-    python -m semcode_spark.cli query  --index idx/ --query "spark shuffle"
-    python -m semcode_spark.cli status --index idx/ --groups 4
+    python -m semcode_spark.cli build   --input docs.parquet --output idx/ [--positions]
+    python -m semcode_spark.cli query   --index idx/ --query "spark shuffle"
+    python -m semcode_spark.cli phrase  --index idx/ --phrase "table scan"
+    python -m semcode_spark.cli add     --index idx/ --input recrawl.parquet
+    python -m semcode_spark.cli compact --index idx/ [--groups 4]
+    python -m semcode_spark.cli gc      --index idx/
+    python -m semcode_spark.cli status  --index idx/ --groups 4
     python -m semcode_spark.cli package --out semcode_spark.zip
 """
 
@@ -23,11 +27,31 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--output", required=True)
     b.add_argument("--groups", type=int, default=4)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables `phrase`)")
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("--k", type=int, default=10)
+
+    ph = sub.add_parser("phrase", help="exact-phrase docs from a positional index")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--phrase", action="append", required=True)
+
+    a = sub.add_parser("add", help="add/replace docs as a new segment")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--no-replace", action="store_true",
+                   help="fail instead of replacing colliding doc_ids")
+
+    c = sub.add_parser("compact", help="merge segments into a fresh snapshot")
+    c.add_argument("--index", required=True)
+    c.add_argument("--groups", type=int, default=1)
+    c.add_argument("--resume", action="store_true")
+
+    g = sub.add_parser("gc", help="remove orphan version dirs")
+    g.add_argument("--index", required=True)
 
     s = sub.add_parser("status", help="manifest/lineage of an index")
     s.add_argument("--index", required=True)
@@ -49,12 +73,46 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"semcode-{args.cmd}")
     try:
         if args.cmd == "build":
+            from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
             from semcode_spark.operators.index_build import build_index
 
+            cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+                store_positions=args.positions))
             docs = spark.read.parquet(args.input)
-            out = build_index(spark, docs, args.output,
+            out = build_index(spark, docs, args.output, cfg=cfg,
                               groups=args.groups, resume=args.resume)
             json.dump(out, sys.stdout)
+            print()
+        elif args.cmd == "phrase":
+            from semcode_spark.operators.index_build import read_index
+            from semcode_spark.operators.query import phrase_match
+
+            idx = read_index(spark, args.index)
+            for text in args.phrase:
+                ids = sorted(r["doc_id"] for r in
+                             phrase_match(spark, idx, text).collect())
+                json.dump({"phrase": text, "n": len(ids), "doc_ids": ids},
+                          sys.stdout)
+                print()
+        elif args.cmd == "add":
+            from semcode_spark.operators.segments import add_segment
+
+            out = add_segment(spark, args.index,
+                              spark.read.parquet(args.input),
+                              replace=not args.no_replace)
+            json.dump(out, sys.stdout)
+            print()
+        elif args.cmd == "compact":
+            from semcode_spark.operators.segments import compact_segments
+
+            out = compact_segments(spark, args.index, groups=args.groups,
+                                   resume=args.resume)
+            json.dump(out, sys.stdout)
+            print()
+        elif args.cmd == "gc":
+            from semcode_spark.operators.segments import gc_versions
+
+            json.dump({"removed": gc_versions(args.index)}, sys.stdout)
             print()
         elif args.cmd == "query":
             from semcode_spark.operators.index_build import read_index

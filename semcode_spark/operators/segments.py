@@ -165,11 +165,20 @@ def _add_segment_locked(
         n_coll = 0
         corpus_rows = [(n_new, float(cs["sum_dl"]))]
         neg_ts: DataFrame | None = None
-        if replace and g > 0:
+        if g > 0:
             idx = read_index(spark, index_dir)
             new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
             collided = idx["docs"].join(F.broadcast(new_ids), "doc_id").persist()
             n_coll = collided.count()
+            if n_coll and not replace:
+                # replace=False is an append-only contract: a colliding
+                # doc_id would silently double-count stats and return
+                # the same doc twice — refuse instead
+                raise ValueError(
+                    f"{n_coll} incoming doc_ids already exist in the "
+                    f"index and replace=False — use replace=True (the "
+                    f"reference force-reingest contract) or drop them "
+                    f"upstream")
             if n_coll:
                 # corpus delta as the integer doc_len sum of the removed
                 # rows — cancels the stored positive sums EXACTLY on read

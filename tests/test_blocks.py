@@ -35,3 +35,29 @@ def test_bm25_w_monotone_in_tf():
     w = B.bm25_w(np.array([1, 2, 3, 5, 10]), dl, avgdl=100.0, k1=1.2, b=0.75)
     assert np.all(np.diff(w) > 0)
     assert np.all(w < 2.2)  # bounded by k1+1
+
+
+def test_positions_roundtrip_property():
+    """Property: encode_positions/decode_positions round-trip for any
+    per-doc sorted position lists (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from semcode_spark.operators.blocks import decode_positions, encode_positions
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.lists(st.integers(min_value=0, max_value=1 << 40),
+                             min_size=1, max_size=30),
+                    min_size=0, max_size=20))
+    def check(doc_positions):
+        import numpy as np
+
+        doc_positions = [sorted(set(p)) for p in doc_positions]
+        ln = np.array([len(p) for p in doc_positions], dtype=np.int64)
+        flat = np.array([x for p in doc_positions for x in p], dtype=np.int64)
+        buf = encode_positions(ln, flat)
+        c, f = decode_positions(buf, len(doc_positions))
+        assert list(c) == list(ln)
+        assert list(f) == list(flat)
+
+    check()

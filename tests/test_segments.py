@@ -138,3 +138,18 @@ def test_manifest_consolidation_bounds_files(spark, documents, tmp_path):
     add_segment(spark, d, documents.filter("doc_id >= 350 and doc_id < 360"),
                 cfg=CFG)
     assert read_index(spark, d)["corpus"].collect()[0]["n_docs"] == 360
+
+
+def test_append_only_refuses_collisions(spark, documents, tmp_path):
+    """replace=False is append-only: a colliding doc_id raises instead
+    of silently double-counting; disjoint ids append fine."""
+    d = str(tmp_path / "appendonly")
+    build_index(spark, documents.limit(100), d, cfg=CFG, groups=1,
+                count_rows=False)
+    with pytest.raises(ValueError, match="already exist"):
+        add_segment(spark, d, documents.filter("doc_id < 10"),
+                    cfg=CFG, replace=False)
+    out = add_segment(spark, d, documents.filter(
+        "doc_id >= 100 and doc_id < 120"), cfg=CFG, replace=False)
+    assert out["n_docs"] == 20
+    assert read_index(spark, d)["corpus"].collect()[0]["n_docs"] == 120

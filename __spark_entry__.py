@@ -240,6 +240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_match(spark, idx, PHRASE)
     q["phrase_match"] = q_phrase
 
+    def q_phrase_topk(spark, sf):
+        # quoted-query surface: phrase containment (positional index)
+        # + BM25 ranking over the phrase terms, both index-only
+        from semcode_spark.operators.query import phrase_topk
+        idx = _cached_index(spark, sf)
+        res = phrase_topk(spark, idx, PHRASE, k=K)
+        return res.select(
+            "doc_id", fround(F.col("score"), 4).alias("score")
+        ).orderBy(F.col("score").desc(), "doc_id")
+    q["phrase_topk"] = q_phrase_topk
+
     def q_snippets(spark, sf):
         # hit → document projection + snippet truncation (reference
         # rag/pipeline.py:133-169 _hit_to_document + :196-197 truncation)
@@ -621,14 +632,34 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {TOKS}, {TF} SELECT doc_id FROM tf WHERE term IN ({terms_in}) "
         f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}"
     )
-    o["phrase_match"] = (
-        "WITH sh2 AS (SELECT doc_id, unnest(shl) AS shingle FROM (SELECT doc_id, "
+    sh2 = (
+        "sh2 AS (SELECT doc_id, unnest(shl) AS shingle FROM (SELECT doc_id, "
         "list_distinct([array_to_string(l[i:i+1], ' ') FOR i IN "
         "generate_series(1, greatest(len(l) - 1, 0))]) AS shl FROM "
         "(SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
-        "'[^a-z0-9]+'), x -> x <> '') AS l FROM documents) _d) _s) "
-        f"SELECT DISTINCT doc_id FROM sh2 WHERE shingle = '{PHRASE}'"
+        "'[^a-z0-9]+'), x -> x <> '') AS l FROM documents) _d) _s)"
     )
+    o["phrase_match"] = (
+        f"WITH {sh2} SELECT DISTINCT doc_id FROM sh2 WHERE shingle = '{PHRASE}'"
+    )
+    ph_terms = ", ".join(f"('{t}')" for t in sorted(set(tokenize_query(PHRASE))))
+    o["phrase_topk"] = f"""
+WITH {TOKS}, {TF}, {DL}, {CSTATS}, {sh2},
+qterms(term) AS (VALUES {ph_terms}),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf JOIN qterms USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((cstats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cstats.avgdl)) ) AS s
+  FROM tf JOIN qterms USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cstats
+  GROUP BY 1),
+ph AS (SELECT DISTINCT doc_id FROM sh2 WHERE shingle = '{PHRASE}')
+SELECT doc_id, {fround_sql('s', 4)} AS score
+FROM scored JOIN ph USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {K}
+"""
 
     _bm25_cte = _bm25_sql(BM25_QUERY, K).strip()
     o["topk_with_snippets"] = f"""

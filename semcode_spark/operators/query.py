@@ -344,6 +344,41 @@ def phrase_match(
     return hits.select("doc_id").distinct()
 
 
+def phrase_topk(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    phrase: str,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """BM25-ranked exact-phrase search: top-k docs CONTAINING the phrase
+    (positional verification, phrase_match) scored by BM25 over the
+    phrase's terms — the classic quoted-query surface. Both legs are
+    index-only: positional decode of the phrase terms' blocks for
+    containment, block decode + literal idf map for scoring; the two
+    candidate sets share the pruned blocks scan. Rank order is the
+    engine-wide (round(score, d) desc, doc_id asc) total order."""
+    k = k or cfg.bm25.default_k
+    terms = _query_terms(index, phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    hits = phrase_match(spark, index, phrase, cfg)
+    if "_corpus_row" not in index:
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+    idfs, _, _, _ = _term_meta(spark, index, terms, n_docs, avgdl)
+    blocks = index["postings"].filter(F.col("term").isin(terms))
+    scored = _score_blocks(blocks, idfs, avgdl, index, cfg)
+    return (
+        scored.join(hits, "doc_id", "left_semi")
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def query_with_fallback(
     spark: SparkSession,
     index: dict[str, DataFrame],

@@ -131,3 +131,25 @@ def test_non_positional_index_refuses_phrase(spark, documents, tmp_path):
     with pytest.raises(ValueError, match="positions mismatch"):
         add_segment(spark, d, documents.filter("doc_id >= 50 and doc_id < 60"),
                     cfg=CFG)
+
+
+def test_phrase_topk_ranked_containment(spark, documents, pos_index):
+    """phrase_topk = docs containing the phrase, BM25-ranked — equals
+    the exhaustive corpus BM25 restricted to the python phrase set."""
+    from semcode_spark.operators.index_build import read_index as _ri
+    from semcode_spark.operators.query import bm25_scores, phrase_topk
+
+    idx = _ri(spark, pos_index)
+    rows = [(r["doc_id"], r["text"]) for r in documents.collect()]
+    want_docs = _py_phrase(rows, "table scan")
+    got = phrase_topk(spark, idx, "table scan", k=10, cfg=CFG).collect()
+    assert {r["doc_id"] for r in got} <= want_docs
+    # reference ranking: exhaustive corpus BM25 over the phrase terms,
+    # restricted to phrase-containing docs
+    scores = {r["doc_id"]: r["score"] for r in
+              bm25_scores(documents, ["table", "scan"], CFG).collect()
+              if r["doc_id"] in want_docs}
+    want = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)

@@ -83,6 +83,25 @@ def main() -> None:
     extras["index_build_docs_per_sec"] = round(n_docs / build_s, 1)
     extras["index_build_sec"] = round(build_s, 3)
 
+    # ---- positional build + index-backed phrase latency ----
+    from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
+    from semcode_spark.operators.query import phrase_match, phrase_topk
+    pos_dir = tempfile.mkdtemp(prefix="bench_posidx_")
+    pos_cfg = EngineConfig(bm25=BM25Config(),
+                           index=IndexConfig(store_positions=True))
+    t0 = time.time()
+    build_index(spark, docs, pos_dir, cfg=pos_cfg, groups=1)
+    extras["index_build_positions_docs_per_sec"] = round(
+        n_docs / (time.time() - t0), 1)
+    pidx = read_index(spark, pos_dir)
+    t0 = time.time()
+    phrase_match(spark, pidx, "table scan").count()
+    extras["phrase_match_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    phrase_topk(spark, pidx, "table scan", k=10).collect()
+    extras["phrase_topk_sec"] = round(time.time() - t0, 3)
+    shutil.rmtree(pos_dir, ignore_errors=True)
+
     # ---- index build throughput: synthetic webtext (html → text → index) ----
     web_dir = tempfile.mkdtemp(prefix="bench_web_")
     pages = synth_web_pages(spark, n_webtext)

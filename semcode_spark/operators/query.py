@@ -352,31 +352,69 @@ def phrase_topk(
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
     """BM25-ranked exact-phrase search: top-k docs CONTAINING the phrase
-    (positional verification, phrase_match) scored by BM25 over the
-    phrase's terms — the classic quoted-query surface. Both legs are
-    index-only: positional decode of the phrase terms' blocks for
-    containment, block decode + literal idf map for scoring; the two
-    candidate sets share the pruned blocks scan. Rank order is the
-    engine-wide (round(score, d) desc, doc_id asc) total order."""
+    scored by BM25 over the phrase's terms — the classic quoted-query
+    surface, entirely index-only with ONE positional decode: tf is the
+    per-(term, doc) position count, so containment (slot alignment) and
+    scoring both derive from the same decoded rows (persisted for the
+    duration of the query, released before returning). Rank order is
+    the engine-wide (round(score, d) desc, doc_id asc) total order."""
     k = k or cfg.bm25.default_k
-    terms = _query_terms(index, phrase)
+    ordered = analyze_query(index.get("analyzer", "standard"), phrase)
+    terms = list(dict.fromkeys(ordered))
     if not terms:
         raise ValueError("empty phrase")
-    hits = phrase_match(spark, index, phrase, cfg)
+    if not index.get("positions_stored"):
+        raise ValueError(
+            "index stores no positions — build with "
+            "IndexConfig(store_positions=True) to serve phrase queries")
     if "_corpus_row" not in index:
         index["_corpus_row"] = index["corpus"].collect()[0]
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
     idfs, _, _, _ = _term_meta(spark, index, terms, n_docs, avgdl)
+
     blocks = index["postings"].filter(F.col("term").isin(terms))
-    scored = _score_blocks(blocks, idfs, avgdl, index, cfg)
-    return (
-        scored.join(hits, "doc_id", "left_semi")
-        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
-                 F.col("doc_id").asc())
-        .limit(k)
-        .select("doc_id", "score")
-    )
+    rows = filter_dead_postings(
+        decode_positions_flat(blocks), index.get("tombstones"),
+        index.get("_n_tombstones", 0)).persist()
+    try:
+        slots: dict[str, list[int]] = {}
+        for i, t in enumerate(ordered):
+            slots.setdefault(t, []).append(i)
+        slot_map = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.array(*[F.lit(i) for i in ss]))
+            for t, ss in slots.items()))
+        hits = (
+            rows.withColumn("slot", F.explode(slot_map[F.col("term")]))
+            .groupBy("doc_id", (F.col("pos") - F.col("slot")).alias("base"))
+            .agg(F.count_distinct(F.col("slot")).alias("n_slots"))
+            .filter(F.col("n_slots") == len(ordered))
+            .select("doc_id").distinct()
+        )
+        k1, b = cfg.bm25.k1, cfg.bm25.b
+        idf_map = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.lit(v)) for t, v in idfs.items()))
+        tf_rel = rows.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf"))
+        w = (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+        scored = (
+            tf_rel.withColumn("idf", idf_map[F.col("term")])
+            .join(index["docs"], "doc_id")
+            .groupBy("doc_id").agg(F.sum(F.col("idf") * w).alias("score"))
+        )
+        out = (
+            scored.join(hits, "doc_id", "left_semi")
+            .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                     F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score")
+            .collect()
+        )
+    finally:
+        rows.unpersist()
+    return spark.createDataFrame(out, "doc_id long, score double") if out \
+        else spark.createDataFrame([], "doc_id long, score double")
 
 
 def query_with_fallback(

@@ -211,6 +211,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", "doc_id", F.col("tf").cast("long").alias("tf"))
     q["postings_flat"] = q_postings
 
+    def q_positions(spark, sf):
+        # positional decode path verified bit-exact: every (term, doc,
+        # token-position) row of the phrase terms, FROM the index
+        from semcode_spark.operators.index_build import decode_positions_flat
+        idx = _cached_index(spark, sf)
+        blocks = idx["postings"].filter(F.col("term").isin(*AND_TERMS))
+        return decode_positions_flat(blocks).select(
+            "term", "doc_id", F.col("pos").cast("long").alias("pos"))
+    q["positions_flat"] = q_positions
+
     def q_forward(spark, sf):
         # the forward (doc_id, term, tf) table that makes doc replacement
         # O(changed docs) — verified bit-equal to the corpus tf relation
@@ -628,6 +638,14 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {TOKS}, {TF} SELECT term, doc_id, tf FROM tf WHERE term IN ({terms_in})"
     )
     o["forward_postings"] = o["postings_flat"]  # forward table == tf relation
+    o["positions_flat"] = f"""
+SELECT term, doc_id, pos FROM (
+  SELECT doc_id, unnest(l) AS term,
+         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), x -> x <> '') AS l FROM documents) _d) _p
+WHERE term IN ({terms_in})
+"""
     o["conjunctive_and"] = (
         f"WITH {TOKS}, {TF} SELECT doc_id FROM tf WHERE term IN ({terms_in}) "
         f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}"

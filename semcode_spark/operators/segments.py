@@ -420,6 +420,22 @@ def _compact_segments_locked(
             "wall_s": time.time() - t0}
 
 
+def compaction_due(idx: dict, tombstone_ratio: float = 0.2,
+                   max_groups: int = 16) -> bool:
+    """Operational policy hook: compact when tombstones exceed
+    ``tombstone_ratio`` of live docs (query-side anti-join pressure) or
+    the segment count exceeds ``max_groups`` (per-query group fan-out).
+    Pure metadata — one tiny count against the already-open handle."""
+    n_tomb = idx.get("_n_tombstones", 0)
+    n_groups = idx["postings"].select("group").distinct().count()
+    if n_groups > max_groups:
+        return True
+    if not n_tomb:
+        return False
+    n_docs = int(idx["corpus"].collect()[0]["n_docs"])
+    return n_docs > 0 and n_tomb / n_docs >= tombstone_ratio
+
+
 def gc_versions(index_dir: str) -> list[str]:
     """Remove version directories other than the live one: orphans from
     a crash between the CURRENT flip and the old-version cleanup, or an

@@ -153,3 +153,59 @@ def test_append_only_refuses_collisions(spark, documents, tmp_path):
         "doc_id >= 100 and doc_id < 120"), cfg=CFG, replace=False)
     assert out["n_docs"] == 20
     assert read_index(spark, d)["corpus"].collect()[0]["n_docs"] == 120
+
+
+def test_compaction_crash_after_forward_stage_resumes(spark, documents,
+                                                      tmp_path, monkeypatch):
+    """Crash between the consolidated-forward write and the postings
+    rewrite: the old snapshot stays live; resume skips the completed
+    forward stage (manifest shows exactly one forward row) and finishes."""
+    import pyspark.sql.functions as SF
+    from semcode_spark.operators import segments as S2
+    from semcode_spark.operators.index_build import read_current_version
+
+    d = str(tmp_path / "fwdcrash")
+    build_index(spark, documents.limit(300), d, cfg=CFG, groups=1,
+                count_rows=False)
+    add_segment(spark, d, documents.filter("doc_id >= 300 and doc_id < 350"),
+                cfg=CFG)
+    before = _run(spark, read_index(spark, d))
+
+    real_enc = S2.encoded_postings
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before postings rewrite")
+
+    monkeypatch.setattr(S2, "encoded_postings", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_segments(spark, d, cfg=CFG, groups=2)
+    assert read_current_version(d) == 0
+    assert _run(spark, read_index(spark, d)) == before
+
+    monkeypatch.setattr(S2, "encoded_postings", real_enc)
+    compact_segments(spark, d, cfg=CFG, groups=2, resume=True)
+    assert read_current_version(d) == 1
+    assert _run(spark, read_index(spark, d)) == before
+    man = spark.read.parquet(d + "/manifest")
+    assert man.filter((SF.col("version") == 1)
+                      & (SF.col("stage") == "forward")).count() == 1
+
+
+def test_compaction_due_policy(spark, documents, tmp_path):
+    from semcode_spark.operators.segments import compaction_due
+    from pyspark.sql import functions as SF
+
+    d = str(tmp_path / "due")
+    build_index(spark, documents.limit(400), d, cfg=CFG, groups=1,
+                count_rows=False)
+    idx = read_index(spark, d)
+    assert not compaction_due(idx)
+    # replace 25% of docs → tombstone pressure crosses the default 20%
+    re_docs = (documents.filter("doc_id < 100")
+               .select("doc_id", SF.concat(SF.lit("v2 "), SF.col("text"))
+                       .alias("text")))
+    add_segment(spark, d, re_docs, cfg=CFG)
+    idx = read_index(spark, d)
+    assert compaction_due(idx)
+    compact_segments(spark, d, cfg=CFG)
+    assert not compaction_due(read_index(spark, d))

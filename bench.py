@@ -217,8 +217,11 @@ def main() -> None:
            for r in lsh_ann_topk(cands, qv, k=10).collect()}
     ivf = {(r["query_id"], r["vec_id"])
            for r in ivf_topk(cands, qv, k=10, nlist=16, nprobe=4).collect()}
+    ivf_t = {(r["query_id"], r["vec_id"])
+             for r in ivf_topk(cands, qv, k=10, nlist=16).collect()}
     extras["lsh_recall_at10"] = round(len(exact & lsh) / len(exact), 3)
     extras["ivf_recall_at10"] = round(len(exact & ivf) / len(exact), 3)
+    extras["ivf_recall_at10_tuned"] = round(len(exact & ivf_t) / len(exact), 3)
 
     spark.stop()
 

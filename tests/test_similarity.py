@@ -172,3 +172,21 @@ def test_lsh_defaults_hit_recall_target(spark, embeddings):
               for r in lsh_ann_topk(cands, qs, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_ivf_adaptive_nprobe_hits_target(spark, embeddings):
+    from semcode_spark.operators.similarity import (
+        adaptive_nprobe, cosine_topk, ivf_topk)
+
+    assert adaptive_nprobe(16) == 8
+    assert adaptive_nprobe(128) <= 64  # capped at half the lists
+    assert adaptive_nprobe(16, target_recall=0.9) > adaptive_nprobe(16, 0.5)
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    cands = embeddings.filter(F.col("vec_id") >= 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(cands, qs, k=10).collect()}
+    tuned = {(r["query_id"], r["vec_id"])
+             for r in ivf_topk(cands, qs, k=10, nlist=16).collect()}
+    assert len(exact & tuned) / len(exact) >= 0.55  # clusterless hard case

@@ -250,6 +250,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_match(spark, idx, PHRASE)
     q["phrase_match"] = q_phrase
 
+    def q_conj_topk(spark, sf):
+        # AND/"must" query mode: every term required, BM25-ranked, one
+        # decode pass from the block index
+        from semcode_spark.operators.query import bm25_topk_conj
+        idx = _cached_index(spark, sf)
+        res = bm25_topk_conj(spark, idx, BM25_QUERY, k=K)
+        return res.select(
+            "doc_id", fround(F.col("score"), 4).alias("score")
+        ).orderBy(F.col("score").desc(), "doc_id")
+    q["bm25_topk_conj"] = q_conj_topk
+
     def q_phrase_topk(spark, sf):
         # quoted-query surface: phrase containment (positional index)
         # + BM25 ranking over the phrase terms, both index-only
@@ -613,6 +624,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["bm25_topk"] = _bm25_sql(BM25_QUERY, K)
+    conj_terms = sorted(set(tokenize_query(BM25_QUERY)))
+    conj_vals = ", ".join(f"('{t}')" for t in conj_terms)
+    o["bm25_topk_conj"] = f"""
+WITH {TOKS}, {TF}, {DL}, {CSTATS},
+qterms(term) AS (VALUES {conj_vals}),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf JOIN qterms USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((cstats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cstats.avgdl)) ) AS s
+  FROM tf JOIN qterms USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cstats
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = {len(conj_terms)})
+SELECT doc_id, {fround_sql('s', 4)} AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {K}
+"""
     o["bm25_topk_rare"] = _bm25_sql(BM25_RARE_QUERY, K)
     o["wand_topk"] = _bm25_sql(BM25_QUERY, K)  # WAND is lossless ⇒ same answer
     o["wand_topk_pruned"] = _bm25_sql(BM25_QUERY, K)  # forced pruning, same answer

@@ -295,6 +295,50 @@ def wand_topk(
     )
 
 
+def bm25_topk_conj(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    query: str,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Conjunctive (every-term-required) BM25 top-k from the block
+    index — the classic AND/"must" query mode. One decode pass over the
+    query terms' blocks; the all-terms requirement is a count-distinct
+    HAVING inside the same scoring aggregate, so conjunctive ranking
+    costs exactly one extra agg column over disjunctive scoring."""
+    k = k or cfg.bm25.default_k
+    terms = _query_terms(index, query)
+    if not terms:
+        raise ValueError("empty query")
+    if "_corpus_row" not in index:
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+    idfs, _, _, _ = _term_meta(spark, index, terms, n_docs, avgdl)
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    blocks = index["postings"].filter(F.col("term").isin(terms))
+    postings = filter_dead_postings(
+        decode_postings(blocks), index.get("tombstones"),
+        index.get("_n_tombstones", 0))
+    idf_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(v)) for t, v in idfs.items()))
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+    return (
+        postings.withColumn("idf", idf_map[F.col("term")])
+        .join(index["docs"], "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * w).alias("score"),
+             F.count_distinct(F.col("term")).alias("_nt"))
+        .filter(F.col("_nt") == len(terms))
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def phrase_match(
     spark: SparkSession,
     index: dict[str, DataFrame],

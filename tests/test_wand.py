@@ -163,3 +163,28 @@ def test_batch_pruning_lossless(spark, documents, tmp_path):
                        round(r["score"], 9)) for r in out)
 
     assert rows(True) == rows(False)
+
+
+def test_conjunctive_topk_requires_all_terms(spark, documents, index):
+    """bm25_topk_conj = exhaustive BM25 restricted to docs containing
+    EVERY query term, rank-identical."""
+    from pyspark.sql import functions as F
+    from semcode_spark.operators.index_build import term_doc_tf
+    from semcode_spark.operators.query import bm25_scores, bm25_topk_conj
+
+    terms = ["spark", "query", "data"]
+    tf = term_doc_tf(documents, cfg=CFG)
+    must = {r["doc_id"] for r in
+            tf.filter(F.col("term").isin(terms)).groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms)).collect()}
+    scores = {r["doc_id"]: r["score"] for r in
+              bm25_scores(documents, terms, CFG).collect()
+              if r["doc_id"] in must}
+    want = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+
+    got = bm25_topk_conj(spark, index, "spark query data", k=10, cfg=CFG).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+    assert all(r["doc_id"] in must for r in got)

@@ -360,6 +360,15 @@ def phrase_match(
     Requires an index built with store_positions=True (meta-gated);
     raises ValueError otherwise — a silent fallback to a corpus scan
     would hide a 100×-scale regression.
+
+    Multi-term phrases first compute the AND candidate set (docs
+    containing every phrase term) from the cheaper doc_ids-only decode
+    and hash-filter the positional rows against it before the
+    slot-alignment aggregate — for a phrase with one selective term the
+    aggregate shrinks from Σ cf(term) token rows to the candidate docs'
+    rows (broadcast when the candidate set is small, shuffle join
+    otherwise; doc_ids are uniform hashes, so block-range skipping
+    cannot help and is deliberately not attempted).
     """
     terms = analyze_query(index.get("analyzer", "standard"), phrase)
     if not terms:
@@ -376,6 +385,31 @@ def phrase_match(
     rows = filter_dead_postings(
         decode_positions_flat(blocks), index.get("tombstones"),
         index.get("_n_tombstones", 0))
+    if len(uniq) > 1:
+        # the AND set is bounded by the rarest term's df (metadata-only
+        # lookup): broadcast the hash filter when that bound is small,
+        # shuffle-join when moderate, and skip the prefilter entirely
+        # for all-stopword phrases where it cannot shrink anything
+        dfs = [float(r["df"]) for r in index["term_stats"]
+               .filter(F.col("term").isin(uniq)).select("df").collect()]
+        min_df = min(dfs) if len(dfs) == len(uniq) else 0.0
+        n_docs_idx = None
+        if "_corpus_row" in index:
+            n_docs_idx = float(index["_corpus_row"]["n_docs"])
+        if min_df <= 2_000_000 or n_docs_idx is None or min_df < n_docs_idx / 2:
+            cand = (
+                filter_dead_postings(
+                    decode_postings(blocks), index.get("tombstones"),
+                    index.get("_n_tombstones", 0))
+                .groupBy("doc_id")
+                .agg(F.count_distinct(F.col("term")).alias("_nt"))
+                .filter(F.col("_nt") == len(uniq))
+                .select("doc_id")
+            )
+            if min_df <= 2_000_000:
+                rows = rows.join(F.broadcast(cand), "doc_id")
+            else:
+                rows = rows.join(cand, "doc_id")
     slot_map = F.create_map(*chain.from_iterable(
         (F.lit(t), F.array(*[F.lit(i) for i in ss]))
         for t, ss in slots.items()))

@@ -389,14 +389,21 @@ def phrase_match(
         # the AND set is bounded by the rarest term's df (metadata-only
         # lookup): broadcast the hash filter when that bound is small,
         # shuffle-join when moderate, and skip the prefilter entirely
-        # for all-stopword phrases where it cannot shrink anything
+        # for all-stopword phrases where it cannot shrink anything — or
+        # when the candidate postings are small enough that the extra
+        # decode pass costs more than the aggregate it would shrink
+        # (the same flat-vs-prune balance as wand_topk's auto mode)
+        if "_corpus_row" not in index:
+            index["_corpus_row"] = index["corpus"].collect()[0]
+        n_docs_idx = float(index["_corpus_row"]["n_docs"])
+        avgdl_idx = float(index["_corpus_row"]["avgdl"])
+        _, _, _, n_blocks = _term_meta(
+            blocks.sparkSession, index, uniq, n_docs_idx, avgdl_idx)
         dfs = [float(r["df"]) for r in index["term_stats"]
                .filter(F.col("term").isin(uniq)).select("df").collect()]
         min_df = min(dfs) if len(dfs) == len(uniq) else 0.0
-        n_docs_idx = None
-        if "_corpus_row" in index:
-            n_docs_idx = float(index["_corpus_row"]["n_docs"])
-        if min_df <= 2_000_000 or n_docs_idx is None or min_df < n_docs_idx / 2:
+        if n_blocks > cfg.bm25.prune_min_blocks and (
+                min_df <= 2_000_000 or min_df < n_docs_idx / 2):
             cand = (
                 filter_dead_postings(
                     decode_postings(blocks), index.get("tombstones"),

@@ -153,3 +153,16 @@ def test_phrase_topk_ranked_containment(spark, documents, pos_index):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_phrase_and_prefilter_path_equal(spark, documents, pos_index):
+    """The AND-candidate prefilter (forced via prune_min_blocks=0) and
+    the direct path return identical phrase sets."""
+    idx = read_index(spark, pos_index)
+    forced = EngineConfig(bm25=BM25Config(prune_min_blocks=0),
+                          index=CFG.index)
+    for phrase in ("table scan", "the data"):
+        a = {r["doc_id"] for r in phrase_match(spark, idx, phrase, CFG).collect()}
+        b = {r["doc_id"] for r in
+             phrase_match(spark, idx, phrase, forced).collect()}
+        assert a == b, phrase

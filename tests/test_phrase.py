@@ -166,3 +166,25 @@ def test_phrase_and_prefilter_path_equal(spark, documents, pos_index):
         b = {r["doc_id"] for r in
              phrase_match(spark, idx, phrase, forced).collect()}
         assert a == b, phrase
+
+
+def test_positional_build_crash_resume(spark, documents, tmp_path):
+    """A positional build killed after group 0 resumes to an index whose
+    phrase answers and stats equal a clean build's."""
+    d1, d2 = str(tmp_path / "crash"), str(tmp_path / "clean")
+    docs = documents.limit(300)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, docs, d1, cfg=CFG, groups=3, fail_after_group=0,
+                    count_rows=False)
+    build_index(spark, docs, d1, cfg=CFG, groups=3, resume=True,
+                count_rows=False)
+    build_index(spark, docs, d2, cfg=CFG, groups=1, count_rows=False)
+    i1, i2 = read_index(spark, d1), read_index(spark, d2)
+    assert i1["positions_stored"] and i2["positions_stored"]
+    for phrase in ("table scan", "the data"):
+        a = {r["doc_id"] for r in phrase_match(spark, i1, phrase).collect()}
+        b = {r["doc_id"] for r in phrase_match(spark, i2, phrase).collect()}
+        assert a == b, phrase
+    ts1 = {r["term"]: (r["df"], r["cf"]) for r in i1["term_stats"].collect()}
+    ts2 = {r["term"]: (r["df"], r["cf"]) for r in i2["term_stats"].collect()}
+    assert ts1 == ts2

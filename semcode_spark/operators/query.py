@@ -399,9 +399,11 @@ def phrase_match(
         avgdl_idx = float(index["_corpus_row"]["avgdl"])
         _, _, _, n_blocks = _term_meta(
             blocks.sparkSession, index, uniq, n_docs_idx, avgdl_idx)
-        dfs = [float(r["df"]) for r in index["term_stats"]
-               .filter(F.col("term").isin(uniq)).select("df").collect()]
-        min_df = min(dfs) if len(dfs) == len(uniq) else 0.0
+        min_df = 0.0
+        if n_blocks > cfg.bm25.prune_min_blocks:
+            dfs = [float(r["df"]) for r in index["term_stats"]
+                   .filter(F.col("term").isin(uniq)).select("df").collect()]
+            min_df = min(dfs) if len(dfs) == len(uniq) else 0.0
         if n_blocks > cfg.bm25.prune_min_blocks and (
                 min_df <= 2_000_000 or min_df < n_docs_idx / 2):
             cand = (

@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--positions", action="store_true",
                    help="store token positions (enables `phrase`)")
+    b.add_argument("--no-forward", action="store_true",
+                   help="skip the forward table: ~20%% faster build for "
+                        "append-only corpora; replace/compaction fall "
+                        "back to decoding the postings store")
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
     q.add_argument("--index", required=True)
@@ -77,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
             from semcode_spark.operators.index_build import build_index
 
             cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
-                store_positions=args.positions))
+                store_positions=args.positions,
+                store_forward=not args.no_forward))
             docs = spark.read.parquet(args.input)
             out = build_index(spark, docs, args.output, cfg=cfg,
                               groups=args.groups, resume=args.resume)

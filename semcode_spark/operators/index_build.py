@@ -113,7 +113,8 @@ from semcode_spark.sources import tableio as _tio  # noqa: E402
 
 def _write_meta(vdir: str, cfg: EngineConfig) -> None:
     _tio.write_meta(vdir, {"analyzer": cfg.index.analyzer, "layout": LAYOUT,
-                           "positions": cfg.index.store_positions})
+                           "positions": cfg.index.store_positions,
+                           "forward": cfg.index.store_forward})
 
 
 def read_meta(vdir: str) -> dict:
@@ -470,10 +471,26 @@ def live_forward(idx: dict, with_positions: bool = False) -> DataFrame:
     cols = ["doc_id", "term", "tf"]
     fwd = idx.get("forward")
     if with_positions:
-        if fwd is None or "positions" not in fwd.columns:
+        if fwd is not None and "positions" not in fwd.columns:
             raise ValueError("index stores no positions")
         cols.append("positions")
     if fwd is None:
+        if with_positions:
+            # store_forward=False positional index: rebuild the forward
+            # relation from the positional postings decode (tf = the
+            # per-(term, doc) position count, positions re-collected in
+            # order) — slower than a forward scan, still index-only
+            if not idx.get("positions_stored"):
+                raise ValueError("index stores no positions")
+            rows = filter_dead_postings(
+                decode_positions_flat(idx["postings"]),
+                idx.get("tombstones"), idx.get("_n_tombstones", 0))
+            return rows.groupBy("doc_id", "term").agg(
+                # dtypes mirror term_doc_tf (tf long, positions
+                # array<int>) so downstream re-encode sees one schema
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list(F.col("pos").cast("int")))
+                .alias("positions"))
         return live_postings_flat(idx).select("doc_id", "term", "tf")
     t = idx.get("tombstones")
     if idx.get("_n_tombstones", 0) and t is not None:
@@ -632,16 +649,31 @@ def _build_index_locked(
     text_col: str,
 ) -> dict:
     t_all = time.time()
+    man_dir = os.path.join(out_dir, "manifest")
     version = read_current_version(out_dir)
+    rebuild_commit = False
     if version is None:
         version = 0
         _write_meta(version_dir(out_dir, version), cfg)
         commit_current_version(out_dir, version)
+    elif not resume and _completed(spark, man_dir, version):
+        # full rebuild over a non-empty index: NEVER into the live
+        # version dir — its committed segment rows (prior add_segment
+        # calls) would stay visible and merge stale postings /
+        # double-counted stats into the rebuilt seg=0. Like compaction,
+        # build v{N+1} and flip CURRENT only on success; the old
+        # snapshot stays live (and readable) until then, and a crashed
+        # rebuild leaves an orphan dir for gc_versions, not a corrupt
+        # index.
+        version += 1
+        _write_meta(version_dir(out_dir, version), cfg)
+        rebuild_commit = True
     vdir = version_dir(out_dir, version)
     existing_meta = _tio.read_meta(vdir)
     if existing_meta and (
         existing_meta.get("analyzer", "standard") != cfg.index.analyzer
         or existing_meta.get("positions", False) != cfg.index.store_positions
+        or existing_meta.get("forward", True) != cfg.index.store_forward
     ):
         # the same mismatch guard add_segment has: resuming (or silently
         # extending) an index under a different analyzer / positions
@@ -650,12 +682,13 @@ def _build_index_locked(
             raise ValueError(
                 f"index property mismatch: built with analyzer="
                 f"{existing_meta.get('analyzer', 'standard')!r} positions="
-                f"{existing_meta.get('positions', False)}, build cfg says "
+                f"{existing_meta.get('positions', False)} forward="
+                f"{existing_meta.get('forward', True)}, build cfg says "
                 f"analyzer={cfg.index.analyzer!r} positions="
-                f"{cfg.index.store_positions} — resume must match the "
+                f"{cfg.index.store_positions} forward="
+                f"{cfg.index.store_forward} — resume must match the "
                 f"index (or rebuild with resume=False)")
-        _write_meta(vdir, cfg)  # full rebuild re-labels the index
-    man_dir = os.path.join(out_dir, "manifest")
+        _write_meta(vdir, cfg)  # rebuild of an empty version: re-label
     done = _verify_done(vdir, _completed(spark, man_dir, version)) if resume else set()
     metrics: list[tuple] = []
 
@@ -710,7 +743,8 @@ def _build_index_locked(
             hot = [r["term"] for r in ts_flagged.filter(F.col("is_hot"))
                    .select("term").collect()]
             ts_flagged.unpersist()
-            write_forward(tf, vdir, 0)
+            if cfg.index.store_forward:
+                write_forward(tf, vdir, 0)
             _manifest_append(spark, man_dir, "stats", -1, "completed",
                              n_docs, time.time() - t0, version)
             metrics.append(("stats", int(n_docs), int((time.time() - t0) * 1000)))
@@ -745,6 +779,8 @@ def _build_index_locked(
                 metrics, "stage string, rows long, wall_ms long"
             ).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
 
+    if rebuild_commit:
+        commit_current_version(out_dir, version)  # snapshot flip
     wall = time.time() - t_all
     return {"n_docs": int(n_docs), "avgdl": float(avgdl), "hot_terms": len(hot),
             "groups": groups, "wall_s": wall, "docs_per_sec": int(n_docs) / wall,
@@ -857,15 +893,39 @@ def check_layout(spark: SparkSession, index_dir: str) -> None:
             f"— no in-place migration path; rebuild the index")
 
 
+def _manifest_rows(spark: SparkSession, man_dir: str, version: int) -> list:
+    """Completed manifest rows for a version, read with a short retry.
+
+    Distinguishes 'no manifest yet' (legit empty — []) from a TRANSIENT
+    miss during consolidation's swap (r3 advice #4): the swap lands the
+    consolidated file BEFORE unlinking the old per-commit files, so
+    rows are never absent — but a reader that listed the directory just
+    before the unlinks can fail mid-scan with FileNotFound. The read +
+    collect runs inside the retry (a lazy handle could still fail at
+    collect time); a retry re-lists and sees the consolidated file.
+    Duplicated rows during the window are harmless — every consumer
+    reduces via set/max semantics. Only a still-failing read of an
+    existing non-empty directory escalates."""
+    import time as _t
+
+    for attempt in range(3):
+        try:
+            return spark.read.parquet(man_dir).filter(
+                (F.col("status") == "completed")
+                & (F.col("version") == version)).collect()
+        except Exception:
+            if not os.path.isdir(man_dir) or not any(
+                    not f.startswith((".", "_")) for f in os.listdir(man_dir)):
+                return []  # genuinely absent/empty
+            if attempt == 2:
+                raise
+            _t.sleep(0.1 * (attempt + 1))
+    return []
+
+
 def _completed(spark: SparkSession, man_dir: str, version: int) -> set[str]:
-    try:
-        man = spark.read.parquet(man_dir)
-    except Exception:
-        return set()
     out: set[str] = set()
-    rows = man.filter(
-        (F.col("status") == "completed") & (F.col("version") == version)
-    ).collect()
+    rows = _manifest_rows(spark, man_dir, version)
     for r in rows:
         if r["stage"] in ("stats", "forward"):
             out.add(r["stage"])
@@ -880,13 +940,7 @@ def _visible(spark: SparkSession, out_dir: str, version: int) -> tuple[set[int],
     """(visible segment ids, visible postings groups) for a version —
     only stages with a completed manifest row count, so a crashed
     half-written add_segment is invisible to every reader."""
-    try:
-        man = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    except Exception:
-        return set(), set()
-    rows = man.filter(
-        (F.col("status") == "completed") & (F.col("version") == version)
-    ).collect()
+    rows = _manifest_rows(spark, os.path.join(out_dir, "manifest"), version)
     segs: set[int] = set()
     groups: set[int] = set()
     for r in rows:

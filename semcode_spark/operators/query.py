@@ -386,39 +386,46 @@ def phrase_match(
         decode_positions_flat(blocks), index.get("tombstones"),
         index.get("_n_tombstones", 0))
     if len(uniq) > 1:
-        # the AND set is bounded by the rarest term's df (metadata-only
-        # lookup): broadcast the hash filter when that bound is small,
-        # shuffle-join when moderate, and skip the prefilter entirely
-        # for all-stopword phrases where it cannot shrink anything — or
-        # when the candidate postings are small enough that the extra
-        # decode pass costs more than the aggregate it would shrink
-        # (the same flat-vs-prune balance as wand_topk's auto mode)
+        # Prefilter: shrink the slot-alignment shuffle by keeping only
+        # docs that contain the RAREST phrase term. Candidates come
+        # from a doc_ids-only decode of that ONE term's blocks — a
+        # strict subset of the positional decode's blocks, never a
+        # second full pass over all of them (r3 decoded every phrase
+        # term's blocks twice here). Slot alignment itself enforces
+        # containment of the remaining terms, so a superset candidate
+        # set is correct. Fire only past the flat-vs-prune block
+        # threshold and when the rarest term is selective enough to
+        # shrink anything (df < N/2 — an all-stopword phrase gains
+        # nothing). Broadcast the candidate side while its exact upper
+        # bound (the rarest term's df, known from metadata) fits
+        # cfg.index.broadcast_ids_max; shuffle-join above it.
         if "_corpus_row" not in index:
             index["_corpus_row"] = index["corpus"].collect()[0]
         n_docs_idx = float(index["_corpus_row"]["n_docs"])
         avgdl_idx = float(index["_corpus_row"]["avgdl"])
         _, _, _, n_blocks = _term_meta(
             blocks.sparkSession, index, uniq, n_docs_idx, avgdl_idx)
-        min_df = 0.0
         if n_blocks > cfg.bm25.prune_min_blocks:
-            dfs = [float(r["df"]) for r in index["term_stats"]
-                   .filter(F.col("term").isin(uniq)).select("df").collect()]
-            min_df = min(dfs) if len(dfs) == len(uniq) else 0.0
-        if n_blocks > cfg.bm25.prune_min_blocks and (
-                min_df <= 2_000_000 or min_df < n_docs_idx / 2):
-            cand = (
-                filter_dead_postings(
-                    decode_postings(blocks), index.get("tombstones"),
-                    index.get("_n_tombstones", 0))
-                .groupBy("doc_id")
-                .agg(F.count_distinct(F.col("term")).alias("_nt"))
-                .filter(F.col("_nt") == len(uniq))
-                .select("doc_id")
-            )
-            if min_df <= 2_000_000:
-                rows = rows.join(F.broadcast(cand), "doc_id")
-            else:
-                rows = rows.join(cand, "doc_id")
+            dfr = {r["term"]: float(r["df"])
+                   for r in index["term_stats"]
+                   .filter(F.col("term").isin(uniq))
+                   .select("term", "df").collect()}
+            if len(dfr) == len(uniq):
+                rare = min(dfr, key=lambda t: (dfr[t], t))
+                min_df = dfr[rare]
+                if min_df < n_docs_idx / 2:
+                    # no dead-postings filter on the candidate side:
+                    # `rows` is already tombstone-filtered, and joining
+                    # with a superset that still lists dead ids keeps
+                    # zero extra rows
+                    cand = (
+                        decode_postings(
+                            index["postings"].filter(F.col("term") == rare))
+                        .select("doc_id").distinct())
+                    if min_df <= cfg.index.broadcast_ids_max:
+                        rows = rows.join(F.broadcast(cand), "doc_id")
+                    else:
+                        rows = rows.join(cand, "doc_id")
     slot_map = F.create_map(*chain.from_iterable(
         (F.lit(t), F.array(*[F.lit(i) for i in ss]))
         for t, ss in slots.items()))
@@ -510,12 +517,17 @@ def query_with_fallback(
     query: str,
     k: int | None = None,
     cfg: EngineConfig = DEFAULT,
-) -> tuple[list, str]:
+) -> tuple[list, str, list[str]]:
     """Degraded-result query path (reference rag/pipeline.py:54-79,
     219-249: retrieval errors are captured and the response degrades
     instead of failing). Ladder: pruned WAND → flat index scan → empty
-    result with mode='degraded'. Returns (rows, mode); rows are
-    (doc_id, score) Rows, mode ∈ {'pruned', 'flat', 'degraded'}.
+    result with mode='degraded'. Returns (rows, mode, fallbacks);
+    rows are (doc_id, score) Rows, mode ∈ {'pruned', 'flat',
+    'degraded'}, and fallbacks records WHY each rung was abandoned
+    ('<mode>: <error>' strings, empty on the happy path) — the analog
+    of the reference's logged fallback reason + telemetry counter
+    (rag/pipeline.py:75-79, api/telemetry.py:49-52). A degraded
+    serving path that hides its cause is unobservable and undebuggable.
 
     Invalid input (empty query) still raises — that is a caller error,
     not a retrieval failure (reference api/main.py:203-206 validates
@@ -523,16 +535,20 @@ def query_with_fallback(
     k = k or cfg.bm25.default_k
     if not _query_terms(index, query):
         raise ValueError("empty query")
+    fallbacks: list[str] = []
     try:
-        return wand_topk(spark, index, query, k, cfg, prune=True).collect(), "pruned"
+        return (wand_topk(spark, index, query, k, cfg, prune=True).collect(),
+                "pruned", fallbacks)
     except ValueError:
         raise
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — rung failure, recorded below
+        fallbacks.append(f"pruned: {type(e).__name__}: {e}")
     try:
-        return wand_topk(spark, index, query, k, cfg, prune=False).collect(), "flat"
-    except Exception:
-        return [], "degraded"
+        return (wand_topk(spark, index, query, k, cfg, prune=False).collect(),
+                "flat", fallbacks)
+    except Exception as e:  # noqa: BLE001
+        fallbacks.append(f"flat: {type(e).__name__}: {e}")
+        return [], "degraded", fallbacks
 
 
 def bm25_topk_batch(

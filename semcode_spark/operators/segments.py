@@ -55,7 +55,8 @@ from pyspark.sql import functions as F
 from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.operators.index_build import (
     _completed as _completed_for,
-    _manifest_append, _verify_done, check_layout, commit_current_version,
+    _manifest_append, _manifest_rows, _verify_done, check_layout,
+    commit_current_version,
     encoded_postings, live_forward, read_current_version,
     read_index, read_meta, term_doc_tf, term_stats, version_dir,
     write_forward, write_term_bounds, _write_meta,
@@ -64,20 +65,40 @@ from semcode_spark.sources import tableio as _tio
 
 
 def _next_group(spark: SparkSession, index_dir: str, version: int) -> int:
-    try:
-        man = spark.read.parquet(os.path.join(index_dir, "manifest"))
-    except Exception:
-        return 0  # brand-new index: a stream can build one segment-by-segment
-    row = man.filter(F.col("version") == version).agg(
-        F.max("group").alias("g")).collect()[0]
-    return int(row["g"]) + 1 if row["g"] is not None else 0
+    # retrying reader (_manifest_rows): a transient consolidation-swap
+    # miss must never look like a brand-new index here — group 0 would
+    # be overwritten
+    rows = _manifest_rows(spark, os.path.join(index_dir, "manifest"), version)
+    groups = [r["group"] for r in rows if r["group"] is not None]
+    return max(groups) + 1 if groups else 0
+
+
+def index_cfg(index_dir: str, base: EngineConfig = DEFAULT) -> EngineConfig:
+    """EngineConfig matching an existing index's persisted properties
+    (analyzer / positions / forward from meta.json), with every other
+    knob taken from ``base``. The inherit path for callers that mutate
+    an index they didn't build — e.g. ``cli add`` against a
+    ``build --positions`` index, which used to raise the
+    positions-mismatch guard because it passed DEFAULT."""
+    from dataclasses import replace as _dc_replace
+
+    v = read_current_version(index_dir)
+    if v is None:
+        return base
+    meta = read_meta(version_dir(index_dir, v))
+    return EngineConfig(bm25=base.bm25, index=_dc_replace(
+        base.index,
+        analyzer=meta.get("analyzer", "standard"),
+        store_positions=bool(meta.get("positions", False)),
+        store_forward=bool(meta.get("forward", True)),
+    ))
 
 
 def add_segment(
     spark: SparkSession,
     index_dir: str,
     new_docs: DataFrame,
-    cfg: EngineConfig = DEFAULT,
+    cfg: EngineConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     replace: bool = True,
@@ -87,14 +108,34 @@ def add_segment(
     replaced, never double-counted — the reference's force-reingest
     contract. Mutations are single-writer: a concurrent add/compact/gc
     raises ConcurrentWriterError (sources/tableio.acquire_lease) instead
-    of silently losing segments."""
+    of silently losing segments.
+
+    ``cfg=None`` (default) inherits the index's persisted analyzer /
+    positions / forward properties (``index_cfg``); pass an explicit
+    cfg only when creating a brand-new index with non-default knobs —
+    a cfg that contradicts an existing index's meta still raises."""
     check_layout(spark, index_dir)
+    if cfg is None:
+        cfg = index_cfg(index_dir)
     lease = _tio.acquire_lease(index_dir, "add_segment")
     try:
         return _add_segment_locked(spark, index_dir, new_docs, cfg,
                                    id_col, text_col, replace)
     finally:
         _tio.release_lease(lease)
+
+
+def _collided_docs(
+    idx_docs: DataFrame, new_ids: DataFrame, n_new: int, broadcast_max: int
+) -> DataFrame:
+    """Rows of the live docs table whose doc_id appears in the incoming
+    batch. Broadcast the incoming-id side only while it is provably
+    small (n_new is the exact incoming count, already computed);
+    a mega-batch re-crawl (10^8-10^9 ids) falls through to a shuffle
+    join instead of blowing the broadcast limit on every executor."""
+    if n_new <= broadcast_max:
+        return idx_docs.join(F.broadcast(new_ids), "doc_id")
+    return idx_docs.join(new_ids, "doc_id")
 
 
 def _add_segment_locked(
@@ -168,7 +209,9 @@ def _add_segment_locked(
         if g > 0:
             idx = read_index(spark, index_dir)
             new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
-            collided = idx["docs"].join(F.broadcast(new_ids), "doc_id").persist()
+            collided = _collided_docs(
+                idx["docs"], new_ids, n_new,
+                cfg.index.broadcast_ids_max).persist()
             n_coll = collided.count()
             if n_coll and not replace:
                 # replace=False is an append-only contract: a colliding
@@ -193,13 +236,21 @@ def _add_segment_locked(
                 # (live_forward falls back to a full decode only for
                 # legacy indexes that predate forward/)
                 live = live_forward(idx)
-                if n_coll <= 10_000:
+                # broadcast_ids_max caps BOTH id-shipping rungs: a
+                # literal isin set rides the serialized plan to every
+                # task, same cost class as a broadcast
+                if n_coll <= min(10_000, cfg.index.broadcast_ids_max):
                     ids = [r["doc_id"] for r in
                            collided.select("doc_id").collect()]
                     dead_tf = live.filter(F.col("doc_id").isin(ids))
-                else:
+                elif n_coll <= cfg.index.broadcast_ids_max:
                     dead_tf = live.join(
                         F.broadcast(collided.select("doc_id")), "doc_id")
+                else:
+                    # mega-batch replace: a broadcast of 10^8-10^9 ids
+                    # would OOM executors — shuffle join; the forward
+                    # side is range-clustered so AQE keeps it bounded
+                    dead_tf = live.join(collided.select("doc_id"), "doc_id")
                 neg_ts = dead_tf.groupBy("term").agg(
                     (-F.count(F.lit(1))).alias("df"),
                     (-F.sum("tf")).alias("cf"),
@@ -229,7 +280,14 @@ def _add_segment_locked(
             ).write.mode("overwrite").parquet(
                 os.path.join(vdir, "tombstones", f"seg={g}"))
 
-        write_forward(tf, vdir, g)
+        # forward is an all-or-nothing INDEX property (meta-gated like
+        # positions): a partial forward table — some segments with
+        # rows, some without — would silently under-count replace
+        # deltas, so new segments write it iff the index carries it.
+        # Legacy metas predate the key; the dir's existence decides.
+        if bool(read_meta(vdir).get(
+                "forward", os.path.isdir(os.path.join(vdir, "forward")))):
+            write_forward(tf, vdir, g)
 
         # small increments get a small bucket fan-out (bucket ids are
         # group-local): cfg-many near-empty shuffle partitions are pure
@@ -368,10 +426,12 @@ def _compact_segments_locked(
         # compaction re-encodes, it never re-tokenizes. positions, like
         # the analyzer, are the INDEX's property: taken from the old
         # version's meta, never from cfg
-        store_pos = bool(read_meta(version_dir(index_dir, version))
-                         .get("positions", False))
+        old_meta = read_meta(version_dir(index_dir, version))
+        store_pos = bool(old_meta.get("positions", False))
+        store_fwd = bool(old_meta.get("forward", os.path.isdir(
+            os.path.join(version_dir(index_dir, version), "forward"))))
         fwd_live = live_forward(idx, with_positions=store_pos)
-        if "forward" not in done:
+        if store_fwd and "forward" not in done:
             write_forward(fwd_live, vnew, 0)
             _manifest_append(spark, man_dir, "forward", -1, "completed",
                              n_docs, time.time() - t0, new_version)

@@ -18,6 +18,8 @@ Scale: corpus side is never collected; query side is broadcast. For
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -137,6 +139,54 @@ def _lsh_tables(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
     ])
 
 
+def _lsh_table_keys_udf(dim: int, n_planes: int, n_tables: int):
+    """Arrow-vectorized pandas UDF computing ALL table bucket keys per
+    vector in one pass — a bit-exact replica of the
+    ``_lsh_bucket_planes`` expression fold, kept because stacking
+    n_tables × n_planes higher-order-function lambdas in one projection
+    falls out of whole-stage codegen and is re-evaluated per element
+    (measured 24 s → sub-second on the sf0.01 gate for 8×4 tables).
+
+    Exactness argument (parity with the DuckDB oracle depends on it):
+    Spark's fold computes ``acc = (..(0.0 + x0*p0) + x1*p1 ..)`` with
+    float32→float64 casts and strictly left-to-right float64 adds; here
+    the products are the identical IEEE float64 elementwise multiplies
+    and ``np.cumsum`` accumulates strictly left-to-right in float64, so
+    every dot product — and therefore every ``dot > 0`` sign — is
+    bit-identical to the expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [plane_values(p, dim) for p in range(n_tables * n_planes)],
+        dtype=np.float64)
+
+    @pandas_udf("array<long>")
+    def keys(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(v, dtype=np.float64) for v in vecs]
+        if all(a.shape == (dim,) for a in arrs):
+            mat = np.stack(arrs)
+        else:
+            # dim-mismatched vectors: the expression form zip_with-pads
+            # with null, which poisons the fold → dot null → every
+            # ``dot > 0`` false → bucket 0. NaN replicates that exactly.
+            mat = np.full((len(arrs), dim), np.nan)
+            for i, a in enumerate(arrs):
+                if a.shape == (dim,):
+                    mat[i] = a
+        out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bucket = np.zeros(mat.shape[0], dtype=np.int64)
+            for i in range(n_planes):
+                dot = np.cumsum(mat * planes[t * n_planes + i], axis=1)[:, -1]
+                bucket += (dot > 0).astype(np.int64) << i
+            out[:, t] = (t << 32) + bucket
+        return pd.Series(list(out))
+
+    return keys
+
+
 def _lsh_bucket_planes(vec: Column, dim: int, n_planes: int, first_plane: int) -> Column:
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
@@ -170,13 +220,14 @@ def lsh_ann_topk(
                                    else vectors.count())
     if n_tables is None:
         n_tables = adaptive_tables(n_planes, target_recall)
+    keys = _lsh_table_keys_udf(dim, n_planes, n_tables)
     vb = vectors.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(_lsh_tables(F.col(vec_col), dim, n_planes, n_tables)).alias("bucket"),
+        F.explode(keys(F.col(vec_col))).alias("bucket"),
     )
     qb = queries.select(
         F.col(qid_col), F.col(qvec_col),
-        F.explode(_lsh_tables(F.col(qvec_col), dim, n_planes, n_tables)).alias("bucket"),
+        F.explode(keys(F.col(qvec_col))).alias("bucket"),
     )
     joined = vb.join(F.broadcast(qb), "bucket").dropDuplicates([qid_col, id_col])
     scored = joined.select(
@@ -316,7 +367,11 @@ def embedding_neardup_pairs(
                                    else vectors.count())
     vb = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", _lsh_bucket(F.col("v"), dim, n_planes))
+    ).withColumn(
+        # single-table keys: (0 << 32) + bucket == _lsh_bucket, computed
+        # by the vectorized kernel instead of n_planes stacked lambdas
+        "bucket",
+        F.element_at(_lsh_table_keys_udf(dim, n_planes, 1)(F.col("v")), 1))
     pairs = (
         vb.alias("l").join(
             vb.alias("r"),

@@ -100,3 +100,104 @@ def test_resume_skips_completed_and_is_identical(spark, documents, index, tmp_pa
     a = read_index(spark, out)["postings"].orderBy("term", "salt", "block_id").collect()
     b = index["postings"].orderBy("term", "salt", "block_id").collect()
     assert a == b  # byte-identical blocks
+
+
+def test_store_forward_false_build_and_replace(spark, documents, tmp_path):
+    """r3 verdict #4: an append-only corpus shouldn't pay the forward
+    table's ~20% build cost. store_forward=False builds no forward/,
+    meta records the property, and replace still works via the
+    postings-decode fallback with stats equal to a fresh build."""
+    import os
+
+    from semcode_spark.operators.segments import add_segment
+
+    nf_cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+        term_buckets=8, block_size=16, store_forward=False))
+    d = str(tmp_path / "nofwd")
+    build_index(spark, documents, d, cfg=nf_cfg, groups=2, count_rows=False)
+    assert not os.path.isdir(os.path.join(d, "v0", "forward"))
+    idx = read_index(spark, d)
+    assert idx["forward"] is None
+
+    re_docs = (documents.filter("doc_id >= 100 and doc_id < 120")
+               .withColumn("text", F.concat(F.lit("re crawl "), F.col("text"))))
+    out = add_segment(spark, d, re_docs)  # inherit: no forward written
+    assert out["n_replaced"] == 20
+    assert not os.path.isdir(os.path.join(d, "v0", "forward"))
+
+    fresh = (documents.filter("doc_id < 100 or doc_id >= 120")
+             .select("doc_id", "text")
+             .union(re_docs.select("doc_id", "text")))
+    full_dir = str(tmp_path / "full")
+    build_index(spark, fresh, full_dir, cfg=nf_cfg, groups=1, count_rows=False)
+    inc, full = read_index(spark, d), read_index(spark, full_dir)
+    a, b = inc["corpus"].collect()[0], full["corpus"].collect()[0]
+    assert a["n_docs"] == b["n_docs"]
+    assert a["avgdl"] == pytest.approx(b["avgdl"], rel=1e-12)
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in inc["term_stats"].collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in full["term_stats"].collect()}
+    assert ts_a == ts_b
+
+
+def test_store_forward_false_positional_compaction(spark, documents, tmp_path):
+    """Positional index without a forward table: compaction rebuilds the
+    forward relation from the positional decode (live_forward fallback)
+    and phrase answers survive identically."""
+    from semcode_spark.operators.query import phrase_match
+    from semcode_spark.operators.segments import compact_segments
+
+    cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+        term_buckets=8, block_size=16, store_positions=True,
+        store_forward=False))
+    d = str(tmp_path / "posnofwd")
+    build_index(spark, documents.limit(300), d, cfg=cfg, groups=1,
+                count_rows=False)
+    idx = read_index(spark, d)
+    before = {r["doc_id"] for r in
+              phrase_match(spark, idx, "table scan").collect()}
+    compact_segments(spark, d, cfg=cfg)
+    idx2 = read_index(spark, d)
+    import os
+    assert idx2["forward"] is None  # property preserved through compaction
+    assert not os.path.isdir(os.path.join(d, "v1", "forward"))
+    after = {r["doc_id"] for r in
+             phrase_match(spark, idx2, "table scan").collect()}
+    assert after == before
+
+
+def test_full_rebuild_never_merges_stale_segments(spark, documents, tmp_path):
+    """ADVICE r3 #3: resume=False over an index that already has
+    committed segments must NOT write into the live version dir (stale
+    add_segment postings would stay visible and double-count stats).
+    The rebuild lands in v{N+1} with a snapshot flip, like compaction."""
+    import os
+
+    from semcode_spark.operators.index_build import read_current_version
+    from semcode_spark.operators.segments import add_segment
+
+    d = str(tmp_path / "rebuild")
+    base = documents.filter("doc_id < 300")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    add_segment(spark, d, documents.filter("doc_id >= 300 and doc_id < 350")
+                .select("doc_id", "text"), cfg=CFG)
+    assert read_current_version(d) == 0
+
+    # full rebuild over a DIFFERENT corpus slice — nothing of the old
+    # segments may leak into the result
+    rebuilt = documents.filter("doc_id >= 400")
+    build_index(spark, rebuilt, d, cfg=CFG, groups=1, count_rows=False)
+    assert read_current_version(d) == 1
+    assert os.path.isdir(os.path.join(d, "v1"))
+    idx = read_index(spark, d)
+    n_want = rebuilt.count()
+    assert idx["corpus"].collect()[0]["n_docs"] == n_want
+    assert idx["docs"].count() == n_want
+    ids = {r["doc_id"] for r in idx["docs"].collect()}
+    assert ids == {r["doc_id"] for r in rebuilt.collect()}
+
+    full_dir = str(tmp_path / "clean")
+    build_index(spark, rebuilt, full_dir, cfg=CFG, groups=1, count_rows=False)
+    clean = read_index(spark, full_dir)
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in idx["term_stats"].collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in clean["term_stats"].collect()}
+    assert ts_a == ts_b

@@ -188,3 +188,31 @@ def test_positional_build_crash_resume(spark, documents, tmp_path):
     ts1 = {r["term"]: (r["df"], r["cf"]) for r in i1["term_stats"].collect()}
     ts2 = {r["term"]: (r["df"], r["cf"]) for r in i2["term_stats"].collect()}
     assert ts1 == ts2
+
+
+def test_add_segment_inherits_index_properties(spark, documents, pos_index,
+                                               tmp_path):
+    """ADVICE r3 #1: `cli add` against a `build --positions` index used
+    to die on the positions-mismatch guard because it passed DEFAULT.
+    add_segment(cfg=None) now inherits analyzer/positions/forward from
+    the index's meta — and the inherited segment serves phrase hits."""
+    import shutil
+
+    from semcode_spark.operators.segments import index_cfg
+
+    d = str(tmp_path / "inherit")
+    shutil.copytree(pos_index, d)
+    inherited = index_cfg(d)
+    assert inherited.index.store_positions is True
+    new = spark.createDataFrame(
+        [(90001, "totally fresh table scan appendix")], "doc_id long, text string")
+    out = add_segment(spark, d, new)  # cfg=None → inherit
+    assert out["n_docs"] == 1
+    idx = read_index(spark, d)
+    got = {r["doc_id"] for r in phrase_match(spark, idx, "table scan").collect()}
+    assert 90001 in got
+    # an explicitly contradictory cfg still refuses
+    flat = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+        term_buckets=8, block_size=16, store_positions=False))
+    with pytest.raises(ValueError, match="positions mismatch"):
+        add_segment(spark, d, new.withColumn("doc_id", F.lit(90002)), cfg=flat)

@@ -360,3 +360,63 @@ def test_replace_falls_back_to_decode_for_legacy_index(spark, recrawl, tmp_path)
     ts_b = {r["term"]: (r["df"], r["cf"]) for r in full["term_stats"].collect()}
     assert ts_a == ts_b
     assert _run(spark, inc) == _run(spark, full)
+
+
+def test_mega_batch_broadcast_gating(spark, recrawl, tmp_path):
+    """r3 verdict "What's wrong #2": the collision lookup broadcast the
+    whole incoming batch's ids unconditionally — fine at 10^2-10^6 docs,
+    executor-OOM at a 10^8-id re-crawl. The join ladder now falls
+    through to a shuffle join past cfg.index.broadcast_ids_max; the
+    shuffle path must replace docs with stats identical to the
+    broadcast path's (and to a fresh build)."""
+    from semcode_spark.operators.segments import _collided_docs
+
+    base, re_docs, fresh = recrawl
+    # plan shape: below the cap → broadcast hint; above → no hint. The
+    # optimizer auto-broadcasts ANY tiny table below
+    # autoBroadcastJoinThreshold, so disable that to observe only the
+    # explicit hint (at 10^8 ids the auto path would not fire either —
+    # size stats exceed the threshold — which is exactly the point).
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(thr_key)
+    spark.conf.set(thr_key, "-1")
+    try:
+        docs = spark.range(10).select(F.col("id").alias("doc_id"),
+                                      F.lit(3).alias("doc_len"))
+        ids = spark.range(5).select(F.col("id").alias("doc_id"))
+        lo = _collided_docs(docs, ids, 5, broadcast_max=100)
+        hi = _collided_docs(docs, ids, 5, broadcast_max=2)
+        plan_lo = lo._sc._jvm.PythonSQLUtils.explainString(
+            lo._jdf.queryExecution(), "formatted")
+        plan_hi = hi._sc._jvm.PythonSQLUtils.explainString(
+            hi._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan_lo
+        assert "BroadcastHashJoin" not in plan_hi
+        assert sorted(r["doc_id"] for r in lo.collect()) \
+            == sorted(r["doc_id"] for r in hi.collect())
+    finally:
+        spark.conf.set(thr_key, old_thr)
+
+    # end-to-end: force every ladder rung to shuffle (broadcast_ids_max=0
+    # also drives n_coll > broadcast_ids_max in the delta path) and
+    # check replacement still equals a fresh build of the merged corpus
+    shuffle_cfg = EngineConfig(
+        bm25=CFG.bm25,
+        index=IndexConfig(term_buckets=8, block_size=16,
+                          broadcast_ids_max=0))
+    inc_dir = str(tmp_path / "inc_shuffle")
+    build_index(spark, base, inc_dir, cfg=shuffle_cfg, groups=2,
+                count_rows=False)
+    out = add_segment(spark, inc_dir, re_docs, cfg=shuffle_cfg)
+    assert out["n_replaced"] == 50
+
+    full_dir = str(tmp_path / "full_shuffle")
+    build_index(spark, fresh, full_dir, cfg=shuffle_cfg, groups=1,
+                count_rows=False)
+    inc, full = read_index(spark, inc_dir), read_index(spark, full_dir)
+    a, b = inc["corpus"].collect()[0], full["corpus"].collect()[0]
+    assert a["n_docs"] == b["n_docs"] == 500
+    assert a["avgdl"] == pytest.approx(b["avgdl"], rel=1e-12)
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in inc["term_stats"].collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in full["term_stats"].collect()}
+    assert ts_a == ts_b

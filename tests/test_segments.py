@@ -102,13 +102,35 @@ def test_concurrent_writer_lease(spark, documents, tmp_path):
     out = add_segment(spark, d, documents.filter("doc_id >= 100 and doc_id < 110"),
                       cfg=CFG)
     assert out["n_docs"] == 10
-    # stale lease (crashed writer): broken after ttl
-    stale = acquire_lease(d, "crashed-writer")
+    # stale lease from a PROVABLY DEAD writer: broken after ttl. (r3
+    # advice #2: the holder pid must be checked — a stale mtime alone
+    # no longer breaks a live writer's lease.)
+    stale = os.path.join(d, "_lease")
+    with open(stale, "w") as f:
+        f.write(f"crashed-writer pid=999999999 host={os.uname().nodename}\n")
     old = _time.time() - 7200
     os.utime(stale, (old, old))
     out = add_segment(spark, d, documents.filter("doc_id >= 110 and doc_id < 115"),
                       cfg=CFG)
     assert out["n_docs"] == 5
+
+    # stale mtime but holder ALIVE on this host: refused, never broken
+    with open(stale, "w") as f:
+        f.write(f"wedged-writer pid={os.getpid()} host={os.uname().nodename}\n")
+    os.utime(stale, (old, old))
+    with pytest.raises(ConcurrentWriterError, match="refusing to break"):
+        add_segment(spark, d, documents.filter("doc_id >= 115 and doc_id < 120"),
+                    cfg=CFG)
+    os.unlink(stale)
+
+    # heartbeat: a long-running holder's lease mtime is refreshed, so a
+    # second writer sees it fresh long past the old fixed-TTL horizon
+    hb = acquire_lease(d, "long-build", ttl_s=0.8)  # heartbeat every 0.2s
+    _time.sleep(1.2)
+    assert _time.time() - os.path.getmtime(hb) < 0.8
+    with pytest.raises(ConcurrentWriterError, match="locked by another writer"):
+        acquire_lease(d, "second", ttl_s=0.8)
+    release_lease(hb)
 
 
 def test_manifest_consolidation_bounds_files(spark, documents, tmp_path):

@@ -90,8 +90,8 @@ def test_query_with_fallback_ladder(spark, index, monkeypatch):
     want = [(r["doc_id"], round(r["score"], 9)) for r in
             wand_topk(spark, index, "spark query data", k=10, cfg=CFG, prune=False).collect()]
 
-    rows, mode = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
-    assert mode == "pruned"
+    rows, mode, why = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
+    assert mode == "pruned" and why == []
     assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == want
 
     real = Q._score_blocks
@@ -104,14 +104,18 @@ def test_query_with_fallback_ladder(spark, index, monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(Q, "_score_blocks", fail_first)
-    rows, mode = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
+    rows, mode, why = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
     assert mode == "flat"
+    # the swallowed rung failure is surfaced, mode-tagged (r3 advice #7)
+    assert why == ["pruned: RuntimeError: injected decode failure"]
     assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == want
 
     monkeypatch.setattr(Q, "_score_blocks",
                         lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("down")))
-    rows, mode = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
+    rows, mode, why = query_with_fallback(spark, index, "spark query data", k=10, cfg=CFG)
     assert mode == "degraded" and rows == []
+    assert [w.split(":")[0] for w in why] == ["pruned", "flat"]
+    assert all("down" in w for w in why)
 
     monkeypatch.setattr(Q, "_score_blocks", real)
     with pytest.raises(ValueError, match="empty query"):

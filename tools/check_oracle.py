@@ -49,9 +49,11 @@ def main() -> int:
 
     qs, os_ = entry.queries(), entry.oracle_sql()
     failures = 0
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -60,6 +62,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        spark_sec = _time.monotonic() - t0
         if name not in os_:
             print(f"okROWS {name}: {len(srows)} rows (no oracle)")
             continue
@@ -85,7 +88,7 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"OK   {name}: {len(srows)} rows")
+            print(f"OK   {name}: {len(srows)} rows  [{spark_sec:.2f}s spark]")
     spark.stop()
     print(f"\n{failures} failures / {len(qs)} queries")
     return 1 if failures else 0

@@ -224,6 +224,43 @@ def main() -> None:
     extras["batch_pruned_sec_per_query"] = round(batch_p / len(REFERENCE_QUERIES), 4)
     extras["batch_pruned_hits"] = n_hits_p
 
+    # ---- flat-vs-pruned at a candidate-block count FAR past the old
+    # auto threshold (r3 verdict #5: the "pruning wins at scale" claim
+    # had to be measured, not argued — it turned out FALSE; see
+    # BENCH/BASELINE.md "static block-max pruning"). 50× replicated
+    # documents corpus → ~45k candidate blocks for the reference set;
+    # both numbers + auto's pick recorded every round, interleaved
+    # best-of-2, hits must agree (pruning stays lossless) ----
+    from semcode_spark.operators.query import _query_terms, _term_meta
+    xdir = tempfile.mkdtemp(prefix="bench_crossover_")
+    reps = spark.range(50).select(F.col("id").alias("rep"))
+    big = (docs.select("doc_id", "text").crossJoin(reps)
+           .select((F.col("doc_id") + F.col("rep") * 10_000_000)
+                   .alias("doc_id"), "text"))
+    build_index(spark, big, xdir, groups=1, count_rows=False)
+    xidx = read_index(spark, xdir, cache=True)
+    xc = xidx["corpus"].collect()[0]
+    xterms = sorted({t for _, text, _ in REFERENCE_QUERIES
+                     for t in _query_terms(xidx, text)})
+    _, _, _, xblocks = _term_meta(spark, xidx, xterms,
+                                  float(xc["n_docs"]), float(xc["avgdl"]))
+    extras["crossover_docs"] = int(xc["n_docs"])
+    extras["crossover_union_blocks"] = int(xblocks)
+    bm25_topk_batch(spark, xidx, REFERENCE_QUERIES, prune=False).count()  # warm
+    xs = {False: [], True: []}
+    xh = {}
+    for _ in range(2):
+        for mode in (False, True):
+            t0 = time.time()
+            xh[mode] = bm25_topk_batch(spark, xidx, REFERENCE_QUERIES,
+                                       prune=mode).count()
+            xs[mode].append(time.time() - t0)
+    assert xh[False] == xh[True], "pruning must stay lossless"
+    extras["crossover_flat_sec"] = round(min(xs[False]), 3)
+    extras["crossover_pruned_sec"] = round(min(xs[True]), 3)
+    extras["crossover_auto_mode"] = "flat"  # r4: auto = flat, measured
+    shutil.rmtree(xdir, ignore_errors=True)
+
     # ---- ANN recall@10 vs brute force (recorded every round) ----
     from semcode_spark.operators.similarity import (
         cosine_topk, ivf_topk, lsh_ann_topk)

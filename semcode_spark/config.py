@@ -27,9 +27,12 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     default_k: int = 10  # reference default top_k (storage/milvus_store.py:135)
-    # below this many candidate blocks, WAND's θ-bootstrap + pruning
-    # costs more than just decoding everything (2 extra Spark jobs);
-    # prune="auto" compares against this (the nprobe-vs-flat decision)
+    # below this many candidate blocks a pre-aggregate shrink pass
+    # (phrase_match's AND prefilter) costs more than the aggregate it
+    # would shrink. (r4: wand/batch prune="auto" no longer uses this —
+    # measured at 3.6k-91k blocks, the static block-max filter never
+    # repaid its θ-bootstrap jobs, so auto = flat; see query.py and
+    # BENCH/BASELINE.md "static block-max pruning".)
     prune_min_blocks: int = 20000
     # ranking compares scores rounded to this many decimals (then doc_id):
     # float sums over query terms are order-dependent at the ulp level

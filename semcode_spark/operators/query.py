@@ -227,11 +227,21 @@ def wand_topk(
     cand = index["postings"].filter(F.col("term").isin(terms))
 
     if prune == "auto":
-        # below prune_min_blocks the θ-bootstrap + pruning would cost
-        # two extra jobs for nothing — decode everything directly (the
-        # flat-scan side of the nprobe-vs-flat decision, reference
-        # milvus_store.py:144)
-        prune = n_blocks > cfg.bm25.prune_min_blocks
+        # auto = flat (r4, measured — see BENCH/BASELINE.md "static
+        # block-max pruning"): the θ-bootstrap costs 1-2 extra Spark
+        # jobs, and the static per-term filter rarely removes blocks —
+        # for multi-term queries the cutoff (θ − Σ other terms' upper
+        # bounds)/idf goes ≤ 0 whenever any other term alone could
+        # reach θ (measured: 30/31 reference-set terms, 100% survivors
+        # at 91k candidate blocks), and for single-term queries block
+        # max_w is near-uniform across a term's blocks on web-like
+        # corpora. Measured flat < pruned at every reachable scale
+        # (3.6k / 9k / 45k / 91k blocks; e.g. 0.79s vs 2.36s single-
+        # term at 500k docs). Pruning stays available explicitly
+        # (prune=True, verified lossless) for the regime that could
+        # repay the bootstrap: k ≪ df, tail-heavy per-block score
+        # variance, and decode volume ≫ the per-job floor.
+        prune = False
 
     if prune and term_ubs:
         total_ub = sum(term_ubs.values())
@@ -600,7 +610,15 @@ def bm25_topk_batch(
     idfs, term_ubs, best, n_blocks = _term_meta(
         spark, index, all_terms, n_docs, avgdl)
     if prune == "auto":
-        prune = n_blocks > cfg.bm25.prune_min_blocks
+        # auto = flat (r4, measured — see wand_topk and BENCH/
+        # BASELINE.md): batched pruning is even weaker than the single-
+        # query case because each term's cutoff is minimized over EVERY
+        # query containing it — one low-θ query keeps the term's whole
+        # posting list for the batch. Measured 100% survivors on the
+        # 24-query reference set at 45k and 91k candidate blocks, with
+        # flat < pruned at every scale (1.78s vs 5.12s at 300k distinct
+        # webtext docs). prune=True stays available and lossless.
+        prune = False
 
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)

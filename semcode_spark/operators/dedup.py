@@ -64,15 +64,18 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    out = tok_df.select(
+    # docs shorter than n tokens produce no shingles — filtered ONCE on
+    # the token array (r4; the previous shape emitted a degenerate
+    # shingle for them and re-split every shingle string downstream to
+    # drop it: a full regex pass over the shingle relation for a
+    # handful of short docs)
+    return tok_df.filter(F.size(toks) >= n).select(
         "doc_id",
         F.explode(F.array_distinct(sh)).alias("shingle"),
     )
-    # drop degenerate shingles from docs shorter than n tokens
-    return out.filter(F.size(F.split(F.col("shingle"), " ")) == n)
 
 
 def ngram_jaccard_pairs(

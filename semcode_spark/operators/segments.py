@@ -285,8 +285,15 @@ def _add_segment_locked(
         # rows, some without — would silently under-count replace
         # deltas, so new segments write it iff the index carries it.
         # Legacy metas predate the key; the dir's existence decides.
-        if bool(read_meta(vdir).get(
-                "forward", os.path.isdir(os.path.join(vdir, "forward")))):
+        # And if meta says forward but the table is GONE (manually
+        # pruned snapshot), writing one segment's rows would make the
+        # next replace's deltas silently partial — stay forward-less.
+        fwd_dir = os.path.join(vdir, "forward")
+        store_fwd = bool(read_meta(vdir).get(
+            "forward", os.path.isdir(fwd_dir)))
+        if store_fwd and g > 0 and not os.path.isdir(fwd_dir):
+            store_fwd = False
+        if store_fwd:
             write_forward(tf, vdir, g)
 
         # small increments get a small bucket fan-out (bucket ids are

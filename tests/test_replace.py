@@ -352,6 +352,9 @@ def test_replace_falls_back_to_decode_for_legacy_index(spark, recrawl, tmp_path)
     assert idx["forward"] is None
     out = add_segment(spark, d, re_docs, cfg=CFG)
     assert out["n_replaced"] == 50
+    # r4: the add must NOT write a PARTIAL forward table (one segment's
+    # rows would make the next replace's deltas silently wrong)
+    assert not os.path.isdir(os.path.join(version_dir(d, 0), "forward"))
 
     full_dir = str(tmp_path / "legacy_full")
     build_index(spark, fresh, full_dir, cfg=CFG, groups=1, count_rows=False)

@@ -558,12 +558,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full DuckDB oracle: the SQL regenerates header + byte histogram
     # from media_id while Spark genuinely decodes the binary column) ---
     def q_media(spark, sf):
-        media = M.synth_media(spark, 200)
-        meta = M.decode_media_meta(media)
-        return meta.join(
-            M.extract_features(media), "media_id"
-        ).select("media_id", "kind", "dec_width", "dec_height", "n_bytes",
-                 fround(F.element_at("features", 1).cast("double"), 4).alias("f0"))
+        # persist: the payload is an md5-per-byte expression chain and
+        # BOTH kernels (meta + features) scan it — one materialization,
+        # released before returning the (tiny, collected) result
+        media = M.synth_media(spark, 200).persist()
+        try:
+            meta = M.decode_media_meta(media)
+            rows = meta.join(
+                M.extract_features(media), "media_id"
+            ).select(
+                "media_id", "kind", "dec_width", "dec_height", "n_bytes",
+                fround(F.element_at("features", 1).cast("double"), 4)
+                .alias("f0")).collect()
+        finally:
+            media.unpersist()
+        return spark.createDataFrame(
+            rows, "media_id long, kind string, dec_width int, "
+                  "dec_height int, n_bytes long, f0 double")
     q["media_decode_features"] = q_media
 
     # --- streaming (availableNow micro-batch; oracle = batch-equivalent SQL) ---

@@ -349,6 +349,55 @@ def bm25_topk_conj(
     )
 
 
+def _rare_term_candidates(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    uniq: list[str],
+    cfg: EngineConfig,
+):
+    """AND-prefilter for multi-term phrase surfaces: (candidates, can
+    broadcast) — doc_ids of the RAREST phrase term, or (None, False)
+    when the prefilter cannot pay for itself.
+
+    Shrinks the slot-alignment (and, in phrase_topk, the scoring)
+    shuffles to docs containing the rarest term. Candidates come from a
+    doc_ids-only decode of that ONE term's blocks — a strict subset of
+    the positional decode's blocks, never a second full pass over all
+    of them (r3 decoded every phrase term's blocks twice here). Slot
+    alignment itself enforces containment of the remaining terms, so a
+    superset candidate set is correct — which also means the candidate
+    side needs NO dead-postings filter (the positional rows it joins
+    against are already tombstone-filtered; a superset that still lists
+    dead ids keeps zero extra rows).
+
+    Gates: fire only past the flat-vs-prune block threshold AND when
+    the rarest term is selective enough to shrink anything (df < N/2 —
+    an all-stopword phrase gains nothing). Broadcast the candidate side
+    while its exact upper bound (the rarest term's df, known from
+    metadata) fits cfg.index.broadcast_ids_max; shuffle-join above."""
+    if len(uniq) < 2:
+        return None, False
+    if "_corpus_row" not in index:
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    n_docs_idx = float(index["_corpus_row"]["n_docs"])
+    avgdl_idx = float(index["_corpus_row"]["avgdl"])
+    _, _, _, n_blocks = _term_meta(spark, index, uniq, n_docs_idx, avgdl_idx)
+    if n_blocks <= cfg.bm25.prune_min_blocks:
+        return None, False
+    dfr = {r["term"]: float(r["df"])
+           for r in index["term_stats"]
+           .filter(F.col("term").isin(uniq))
+           .select("term", "df").collect()}
+    if len(dfr) != len(uniq):
+        return None, False
+    rare = min(dfr, key=lambda t: (dfr[t], t))
+    if dfr[rare] >= n_docs_idx / 2:
+        return None, False
+    cand = (decode_postings(index["postings"].filter(F.col("term") == rare))
+            .select("doc_id").distinct())
+    return cand, dfr[rare] <= cfg.index.broadcast_ids_max
+
+
 def phrase_match(
     spark: SparkSession,
     index: dict[str, DataFrame],
@@ -395,47 +444,10 @@ def phrase_match(
     rows = filter_dead_postings(
         decode_positions_flat(blocks), index.get("tombstones"),
         index.get("_n_tombstones", 0))
-    if len(uniq) > 1:
-        # Prefilter: shrink the slot-alignment shuffle by keeping only
-        # docs that contain the RAREST phrase term. Candidates come
-        # from a doc_ids-only decode of that ONE term's blocks — a
-        # strict subset of the positional decode's blocks, never a
-        # second full pass over all of them (r3 decoded every phrase
-        # term's blocks twice here). Slot alignment itself enforces
-        # containment of the remaining terms, so a superset candidate
-        # set is correct. Fire only past the flat-vs-prune block
-        # threshold and when the rarest term is selective enough to
-        # shrink anything (df < N/2 — an all-stopword phrase gains
-        # nothing). Broadcast the candidate side while its exact upper
-        # bound (the rarest term's df, known from metadata) fits
-        # cfg.index.broadcast_ids_max; shuffle-join above it.
-        if "_corpus_row" not in index:
-            index["_corpus_row"] = index["corpus"].collect()[0]
-        n_docs_idx = float(index["_corpus_row"]["n_docs"])
-        avgdl_idx = float(index["_corpus_row"]["avgdl"])
-        _, _, _, n_blocks = _term_meta(
-            blocks.sparkSession, index, uniq, n_docs_idx, avgdl_idx)
-        if n_blocks > cfg.bm25.prune_min_blocks:
-            dfr = {r["term"]: float(r["df"])
-                   for r in index["term_stats"]
-                   .filter(F.col("term").isin(uniq))
-                   .select("term", "df").collect()}
-            if len(dfr) == len(uniq):
-                rare = min(dfr, key=lambda t: (dfr[t], t))
-                min_df = dfr[rare]
-                if min_df < n_docs_idx / 2:
-                    # no dead-postings filter on the candidate side:
-                    # `rows` is already tombstone-filtered, and joining
-                    # with a superset that still lists dead ids keeps
-                    # zero extra rows
-                    cand = (
-                        decode_postings(
-                            index["postings"].filter(F.col("term") == rare))
-                        .select("doc_id").distinct())
-                    if min_df <= cfg.index.broadcast_ids_max:
-                        rows = rows.join(F.broadcast(cand), "doc_id")
-                    else:
-                        rows = rows.join(cand, "doc_id")
+    cand, bc = _rare_term_candidates(
+        blocks.sparkSession, index, uniq, cfg)
+    if cand is not None:
+        rows = rows.join(F.broadcast(cand) if bc else cand, "doc_id")
     slot_map = F.create_map(*chain.from_iterable(
         (F.lit(t), F.array(*[F.lit(i) for i in ss]))
         for t, ss in slots.items()))
@@ -480,7 +492,16 @@ def phrase_topk(
     blocks = index["postings"].filter(F.col("term").isin(terms))
     rows = filter_dead_postings(
         decode_positions_flat(blocks), index.get("tombstones"),
-        index.get("_n_tombstones", 0)).persist()
+        index.get("_n_tombstones", 0))
+    # same rarest-term AND-prefilter as phrase_match (r4): docs lacking
+    # the rarest term can neither contain the phrase nor reach the
+    # left_semi against hits, so pre-joining bounds BOTH the
+    # slot-alignment and the scoring shuffles (and the persisted cache)
+    # by min_df instead of Σ cf of the phrase terms
+    cand, bc = _rare_term_candidates(spark, index, sorted(set(terms)), cfg)
+    if cand is not None:
+        rows = rows.join(F.broadcast(cand) if bc else cand, "doc_id")
+    rows = rows.persist()
     try:
         slots: dict[str, list[int]] = {}
         for i, t in enumerate(ordered):

@@ -125,11 +125,12 @@ def test_concurrent_writer_lease(spark, documents, tmp_path):
 
     # heartbeat: a long-running holder's lease mtime is refreshed, so a
     # second writer sees it fresh long past the old fixed-TTL horizon
-    hb = acquire_lease(d, "long-build", ttl_s=0.8)  # heartbeat every 0.2s
-    _time.sleep(1.2)
-    assert _time.time() - os.path.getmtime(hb) < 0.8
+    # (ttl 2s → beat every 0.5s; generous margins for a loaded box)
+    hb = acquire_lease(d, "long-build", ttl_s=2.0)
+    _time.sleep(2.6)
+    assert _time.time() - os.path.getmtime(hb) < 2.0
     with pytest.raises(ConcurrentWriterError, match="locked by another writer"):
-        acquire_lease(d, "second", ttl_s=0.8)
+        acquire_lease(d, "second", ttl_s=2.0)
     release_lease(hb)
 
 

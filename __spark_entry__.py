@@ -282,6 +282,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.substring("text", 1, 100).alias("snippet")))
     q["topk_with_snippets"] = q_snippets
 
+    def q_highlight(spark, sf):
+        # position-driven highlight: snippet = token window around each
+        # hit doc's FIRST query-term occurrence, positions served from
+        # the positional index (r4 serving surface; the reference only
+        # truncates blindly, rag/pipeline.py:196-197)
+        from semcode_spark.operators.query import highlight_topk
+        idx = _cached_index(spark, sf)
+        docs = load_table(spark, sf, "documents")
+        return highlight_topk(
+            spark, idx, docs, BM25_QUERY, k=K, window=3
+        ).select("doc_id", fround(F.col("score"), 4).alias("score"),
+                 F.col("first_pos").cast("long").alias("first_pos"),
+                 "snippet")
+    q["highlight_topk"] = q_highlight
+
     def q_postfilter(spark, sf):
         # result post-filter by language (reference frontend/app.py:100-116)
         docs = load_table(spark, sf, "documents")
@@ -681,6 +696,42 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {K}
     o["bm25_topk_rare"] = _bm25_sql(BM25_RARE_QUERY, K)
     o["wand_topk"] = _bm25_sql(BM25_QUERY, K)  # WAND is lossless ⇒ same answer
     o["wand_topk_pruned"] = _bm25_sql(BM25_QUERY, K)  # forced pruning, same answer
+
+    # position-driven highlight: top-k (same scored CTE) + first_pos =
+    # min over query terms of the term's first token position
+    # (list_position is 1-based; engine emits the index's 0-based
+    # position) + snippet = tokens[max(0, p−3) .. p+3] — list_slice is
+    # 1-based inclusive and clamps, exactly like Spark's slice
+    hl_terms = sorted(set(tokenize_query(BM25_QUERY)))
+    hl_vals = ", ".join(f"('{t}')" for t in hl_terms)
+    o["highlight_topk"] = f"""
+WITH {TOKS}, {TF}, {DL}, {CSTATS},
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+       '[^a-z0-9]+'), x -> x <> '') AS l FROM documents),
+qterms(term) AS (VALUES {hl_vals}),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf JOIN qterms USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((cstats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cstats.avgdl)) ) AS s
+  FROM tf JOIN qterms USING (term) JOIN dfq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN cstats
+  GROUP BY 1),
+topk AS (SELECT doc_id, {fround_sql('s', 4)} AS score FROM scored
+         ORDER BY score DESC, doc_id LIMIT {K}),
+fp AS (SELECT tl.doc_id,
+              CAST(min(list_position(tl.l, q.term)) - 1 AS BIGINT) AS first_pos
+       FROM tl JOIN topk USING (doc_id) CROSS JOIN qterms q
+       WHERE list_position(tl.l, q.term) IS NOT NULL
+       GROUP BY 1)
+SELECT topk.doc_id AS doc_id, topk.score AS score, fp.first_pos AS first_pos,
+       array_to_string(list_slice(tl.l,
+           greatest(1, CAST(fp.first_pos + 1 - 3 AS BIGINT)),
+           CAST(fp.first_pos + 1 + 3 AS BIGINT)), ' ') AS snippet
+FROM topk JOIN fp USING (doc_id) JOIN tl USING (doc_id)
+ORDER BY score DESC, doc_id
+"""
 
     o["doc_stats"] = f"WITH {TOKS}, {DL} SELECT doc_id, dl AS doc_len FROM dl"
     o["corpus_stats"] = (

@@ -542,6 +542,76 @@ def phrase_topk(
         else spark.createDataFrame([], "doc_id long, score double")
 
 
+def highlight_topk(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    query: str,
+    k: int | None = None,
+    window: int = 3,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 with a POSITION-driven snippet: the token window
+    around each hit doc's first query-term occurrence — the serving
+    surface behind highlighted search results (the reference truncates
+    text blindly, rag/pipeline.py:226-238; position-aware windows need
+    the positional index).
+
+    (doc_id, score, first_pos, snippet): first_pos is the 0-based token
+    position of the earliest occurrence of ANY query term, served from
+    the positional postings (never a corpus token re-scan); snippet =
+    tokens[max(0, first_pos−window) .. first_pos+window] of the doc,
+    sliced relationally from the docs table (only the k hit docs are
+    tokenized — the doc_id predicate prunes the corpus scan).
+
+    Plan: k-row top-k (flat WAND) → positional decode of the query
+    terms' blocks filtered to the k ids (literal isin) → min(pos) per
+    doc → join the k docs' token arrays → slice. Cost ∝ query terms'
+    positions + k docs, independent of corpus size."""
+    from semcode_spark.functions.tokenize import tokens_col
+
+    k = k or cfg.bm25.default_k
+    terms = _query_terms(index, query)
+    if not terms:
+        raise ValueError("empty query")
+    if not index.get("positions_stored"):
+        raise ValueError(
+            "index stores no positions — build with "
+            "IndexConfig(store_positions=True) to serve highlights")
+    top = wand_topk(spark, index, query, k, cfg, prune=False).collect()
+    out_schema = ("doc_id long, score double, first_pos long, "
+                  "snippet string")
+    if not top:
+        return spark.createDataFrame([], out_schema)
+    ids = [r["doc_id"] for r in top]
+    scores = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in top], "doc_id long, score double")
+    blocks = index["postings"].filter(F.col("term").isin(terms))
+    first = (
+        filter_dead_postings(
+            decode_positions_flat(blocks), index.get("tombstones"),
+            index.get("_n_tombstones", 0))
+        .filter(F.col("doc_id").isin(ids))
+        .groupBy("doc_id").agg(F.min("pos").alias("first_pos"))
+    )
+    toks = (docs.filter(F.col(id_col).isin(ids))
+            .select(F.col(id_col).alias("doc_id"),
+                    tokens_col(text_col).alias("_toks")))
+    lo = F.greatest(F.lit(1), F.col("first_pos") + 1 - window)  # 1-based
+    ln = (F.col("first_pos") + 1 + window) - lo + 1
+    return (
+        scores.join(first, "doc_id")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id", "score", "first_pos",
+            F.concat_ws(" ", F.slice("_toks", lo, ln)).alias("snippet"))
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
+    )
+
+
 def query_with_fallback(
     spark: SparkSession,
     index: dict[str, DataFrame],

@@ -42,3 +42,36 @@ def test_reference_query_set_rank_identical(spark, index, oracle):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         n_nonempty += bool(rows)
     assert n_nonempty >= 20  # OOV queries are allowed to be empty
+
+
+def test_highlight_topk_position_windows(spark, documents, oracle, tmp_path_factory):
+    """highlight_topk: top-k equals the oracle ranking, first_pos is the
+    earliest query-term token position, and the snippet is exactly the
+    ±window token slice of the doc — all checked vs a pure-Python
+    reference over the raw text."""
+    import re
+
+    from semcode_spark.operators.query import highlight_topk
+
+    pos_cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+        term_buckets=16, block_size=32, store_positions=True))
+    d = str(tmp_path_factory.mktemp("hl_idx"))
+    build_index(spark, documents, d, cfg=pos_cfg, groups=1, count_rows=False)
+    idx = read_index(spark, d)
+
+    query, k, w = "spark query data", 10, 3
+    got = highlight_topk(spark, idx, documents, query, k=k, window=w,
+                         cfg=pos_cfg).collect()
+    want = oracle.topk(query, k=k)
+    assert [r["doc_id"] for r in got] == [doc for doc, _ in want]
+
+    text_by_id = {r["doc_id"]: r["text"]
+                  for r in documents.select("doc_id", "text").collect()}
+    qterms = {"spark", "query", "data"}
+    for r in got:
+        toks = [t for t in re.split(r"[^a-z0-9]+",
+                                    text_by_id[r["doc_id"]].lower()) if t]
+        first = min(i for i, t in enumerate(toks) if t in qterms)
+        assert r["first_pos"] == first
+        lo = max(0, first - w)
+        assert r["snippet"] == " ".join(toks[lo:first + w + 1])

@@ -297,6 +297,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "snippet")
     q["highlight_topk"] = q_highlight
 
+    def q_suggest(spark, sf):
+        # did-you-mean over the index's term dictionary ('querry' is a
+        # deliberate 1-edit typo of a vocabulary term)
+        from semcode_spark.operators.query import suggest_terms
+        idx = _cached_index(spark, sf)
+        return suggest_terms(spark, idx, "querry", max_dist=2, n=10)
+    q["suggest_terms"] = q_suggest
+
+    def q_vocab(spark, sf):
+        from semcode_spark.operators.query import vocab_top_terms
+        idx = _cached_index(spark, sf)
+        return vocab_top_terms(spark, idx, n=20)
+    q["vocab_top_terms"] = q_vocab
+
     def q_postfilter(spark, sf):
         # result post-filter by language (reference frontend/app.py:100-116)
         docs = load_table(spark, sf, "documents")
@@ -731,6 +745,22 @@ SELECT topk.doc_id AS doc_id, topk.score AS score, fp.first_pos AS first_pos,
            CAST(fp.first_pos + 1 + 3 AS BIGINT)), ' ') AS snippet
 FROM topk JOIN fp USING (doc_id) JOIN tl USING (doc_id)
 ORDER BY score DESC, doc_id
+"""
+    # did-you-mean: same corpus-derived term dictionary, same
+    # levenshtein (standard edit distance in both engines), identical
+    # total order (dist, df desc, term)
+    o["suggest_terms"] = f"""
+WITH {TOKS}, {TF},
+ts AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT term, CAST(levenshtein(term, 'querry') AS BIGINT) AS dist, df
+FROM ts WHERE levenshtein(term, 'querry') <= 2
+ORDER BY dist, df DESC, term LIMIT 10
+"""
+    o["vocab_top_terms"] = f"""
+WITH {TOKS}, {TF},
+ts AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+SELECT term, df, cf FROM ts ORDER BY df DESC, term LIMIT 20
 """
 
     o["doc_stats"] = f"WITH {TOKS}, {DL} SELECT doc_id, dl AS doc_len FROM dl"

@@ -612,6 +612,59 @@ def highlight_topk(
     )
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    word: str,
+    max_dist: int = 2,
+    n: int = 10,
+) -> DataFrame:
+    """Did-you-mean: vocabulary terms within ``max_dist`` edits of
+    ``word``, ranked by (distance asc, df desc, term asc) — the classic
+    fuzzy-suggestion surface, served ENTIRELY from the index's term
+    dictionary (term_stats aggregate; no corpus or postings access).
+
+    The word is normalized through the index's analyzer first (a
+    stemmed index suggests over stemmed vocabulary — same invariant as
+    querying). A |length−len(word)| ≤ max_dist prefilter prunes the
+    dictionary before the O(len²) edit-distance compare; both the
+    filter and levenshtein are JVM codegen, and at web scale the term
+    dictionary (~10^7 rows) is the SMALL relation of the whole engine,
+    so this is a metadata-only job. (doc_id-free: term, dist, df.)"""
+    terms = analyze_query(index.get("analyzer", "standard"), word)
+    if not terms:
+        raise ValueError("empty suggestion seed")
+    t = terms[0]
+    return (
+        index["term_stats"]
+        .filter(F.abs(F.length("term") - len(t)) <= max_dist)
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc())
+        .limit(n)
+        .select("term", F.col("dist").cast("long").alias("dist"),
+                F.col("df").cast("long").alias("df"))
+    )
+
+
+def vocab_top_terms(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    n: int = 20,
+) -> DataFrame:
+    """Vocabulary exploration: the n highest-df terms with their df/cf —
+    a pure term-dictionary aggregate (segment partials summed on read),
+    no postings decode. (term, df, cf), ordered (df desc, term asc)."""
+    return (
+        index["term_stats"]
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n)
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
+
+
 def query_with_fallback(
     spark: SparkSession,
     index: dict[str, DataFrame],

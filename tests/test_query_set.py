@@ -75,3 +75,43 @@ def test_highlight_topk_position_windows(spark, documents, oracle, tmp_path_fact
         assert r["first_pos"] == first
         lo = max(0, first - w)
         assert r["snippet"] == " ".join(toks[lo:first + w + 1])
+
+
+def test_suggest_and_vocab_surfaces(spark, documents, tmp_path_factory):
+    """Term-dictionary serving surfaces: did-you-mean ranks by
+    (edit distance, df desc, term) and never misses a within-distance
+    term (the length prefilter is sound: levenshtein >= |len diff|);
+    vocab_top_terms equals a direct tf aggregate."""
+    import re
+    from collections import Counter
+
+    from semcode_spark.operators.query import suggest_terms, vocab_top_terms
+
+    d = str(tmp_path_factory.mktemp("sugg_idx"))
+    build_index(spark, documents, d, cfg=CFG, groups=1, count_rows=False)
+    idx = read_index(spark, d)
+
+    df_py: Counter = Counter()
+    for r in documents.select("text").collect():
+        toks = {t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t}
+        df_py.update(toks)
+
+    def lev(a, b):
+        m = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)]
+             for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    got = suggest_terms(spark, idx, "querry", max_dist=2, n=10).collect()
+    want = sorted(
+        ((t, lev(t, "querry"), n) for t, n in df_py.items()
+         if lev(t, "querry") <= 2),
+        key=lambda x: (x[1], -x[2], x[0]))[:10]
+    assert [(r["term"], r["dist"], r["df"]) for r in got] == want
+
+    top = vocab_top_terms(spark, idx, n=5).collect()
+    want_top = sorted(df_py.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["term"], r["df"]) for r in top] == want_top

@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--no-replace", action="store_true",
                    help="fail instead of replacing colliding doc_ids")
 
+    sg = sub.add_parser("suggest", help="did-you-mean over the term dictionary")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--word", action="append", required=True)
+    sg.add_argument("--max-dist", type=int, default=2)
+
     c = sub.add_parser("compact", help="merge segments into a fresh snapshot")
     c.add_argument("--index", required=True)
     c.add_argument("--groups", type=int, default=1)
@@ -107,6 +112,18 @@ def main(argv: list[str] | None = None) -> int:
                               replace=not args.no_replace)
             json.dump(out, sys.stdout)
             print()
+        elif args.cmd == "suggest":
+            from semcode_spark.operators.index_build import read_index
+            from semcode_spark.operators.query import suggest_terms
+
+            idx = read_index(spark, args.index)
+            for word in args.word:
+                rows = suggest_terms(spark, idx, word,
+                                     max_dist=args.max_dist).collect()
+                json.dump({"word": word, "suggestions": [
+                    {"term": r["term"], "dist": r["dist"], "df": r["df"]}
+                    for r in rows]}, sys.stdout)
+                print()
         elif args.cmd == "compact":
             from semcode_spark.operators.segments import compact_segments
 

@@ -311,6 +311,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vocab_top_terms(spark, idx, n=20)
     q["vocab_top_terms"] = q_vocab
 
+    def q_facets(spark, sf):
+        # result-page facet sidebar: per-lang counts of the OR-matching
+        # docs, match set from the index, facet column from the corpus
+        from semcode_spark.operators.query import facet_counts
+        idx = _cached_index(spark, sf)
+        docs = load_table(spark, sf, "documents")
+        return facet_counts(spark, idx, docs, BM25_QUERY, "lang").select(
+            F.col("facet").alias("lang"), F.col("n").cast("long").alias("n"))
+    q["facet_counts_lang"] = q_facets
+
     def q_postfilter(spark, sf):
         # result post-filter by language (reference frontend/app.py:100-116)
         docs = load_table(spark, sf, "documents")
@@ -761,6 +771,16 @@ WITH {TOKS}, {TF},
 ts AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
        CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
 SELECT term, df, cf FROM ts ORDER BY df DESC, term LIMIT 20
+"""
+    fc_terms = sorted(set(tokenize_query(BM25_QUERY)))
+    fc_vals = ", ".join(f"('{t}')" for t in fc_terms)
+    o["facet_counts_lang"] = f"""
+WITH {TOKS},
+qterms(term) AS (VALUES {fc_vals}),
+matches AS (SELECT DISTINCT doc_id FROM toks JOIN qterms USING (term))
+SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n
+FROM matches JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY n DESC, lang
 """
 
     o["doc_stats"] = f"WITH {TOKS}, {DL} SELECT doc_id, dl AS doc_len FROM dl"

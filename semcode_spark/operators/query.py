@@ -665,6 +665,45 @@ def vocab_top_terms(
     )
 
 
+def facet_counts(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    query: str,
+    facet_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search facets: how many docs matching the query (OR semantics —
+    any term) fall in each bucket of ``facet_col`` (e.g. lang, source).
+    The standard result-page sidebar aggregate.
+
+    Plan: doc_ids-only decode of the query terms' blocks (partition-
+    pruned scan, tombstone-filtered) → distinct matching ids → semi-
+    shaped join against the corpus attribute column → count per bucket.
+    The corpus scan reads TWO columns (id + facet — column pruning) and
+    the join key is the already-deduplicated match set; cost ∝ matching
+    docs, never the corpus row width. (facet, n), ordered (n desc,
+    facet asc)."""
+    terms = _query_terms(index, query)
+    if not terms:
+        raise ValueError("empty query")
+    matches = (
+        filter_dead_postings(
+            decode_postings(
+                index["postings"].filter(F.col("term").isin(terms))),
+            index.get("tombstones"), index.get("_n_tombstones", 0))
+        .select("doc_id").distinct()
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(facet_col).alias("facet"))
+        .join(matches, "doc_id")
+        .groupBy("facet")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("facet").asc())
+    )
+
+
 def query_with_fallback(
     spark: SparkSession,
     index: dict[str, DataFrame],

@@ -115,3 +115,26 @@ def test_suggest_and_vocab_surfaces(spark, documents, tmp_path_factory):
     top = vocab_top_terms(spark, idx, n=5).collect()
     want_top = sorted(df_py.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r["term"], r["df"]) for r in top] == want_top
+
+
+def test_facet_counts_or_semantics(spark, documents, tmp_path_factory):
+    """facet_counts: per-bucket counts of docs matching ANY query term,
+    vs a pure-Python reference."""
+    import re
+    from collections import Counter
+
+    from semcode_spark.operators.query import facet_counts
+
+    d = str(tmp_path_factory.mktemp("facet_idx"))
+    build_index(spark, documents, d, cfg=CFG, groups=1, count_rows=False)
+    idx = read_index(spark, d)
+    got = {(r["facet"], r["n"]) for r in
+           facet_counts(spark, idx, documents, "spark query data",
+                        "lang").collect()}
+    qterms = {"spark", "query", "data"}
+    want: Counter = Counter()
+    for r in documents.select("doc_id", "text", "lang").collect():
+        toks = {t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t}
+        if toks & qterms:
+            want[r["lang"]] += 1
+    assert got == {(lang, n) for lang, n in want.items()}

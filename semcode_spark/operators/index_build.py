@@ -664,8 +664,12 @@ def _build_index_locked(
         # build v{N+1} and flip CURRENT only on success; the old
         # snapshot stays live (and readable) until then, and a crashed
         # rebuild leaves an orphan dir for gc_versions, not a corrupt
-        # index.
-        version += 1
+        # index. The target is the next FREE version — not CURRENT+1
+        # unconditionally: a prior crashed rebuild left completed
+        # manifest rows (and possibly dirs) for v{N+1}, and building
+        # into the same version would union its stale groups into the
+        # served index (r4 ADVICE #1).
+        version = _next_free_version(spark, out_dir, version)
         _write_meta(version_dir(out_dir, version), cfg)
         rebuild_commit = True
     vdir = version_dir(out_dir, version)
@@ -834,6 +838,33 @@ def _manifest_append(
         [(stage, group, status, int(rows), int(wall_s * 1000), int(version))],
         "stage string, group int, status string, rows long, wall_ms long, version int",
     ).write.mode("append").parquet(man_dir)
+
+
+def _next_free_version(spark: SparkSession, out_dir: str, current: int) -> int:
+    """Smallest version number no prior run (committed, crashed, or
+    gc'd) has touched: 1 + max(CURRENT, every v* dir on disk, every
+    version in the manifest). The manifest is append-only, so a crashed
+    rebuild's 'completed' rows persist even after gc_versions removes
+    its dir — reusing that version would make _visible union the stale
+    rows into the fresh build (duplicate postings / double-counted
+    stats). Both rebuild (here) and resume=False compaction
+    (operators/segments.py) allocate through this."""
+    import re
+
+    vmax = current
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m:
+                vmax = max(vmax, int(m.group(1)))
+    man_dir = os.path.join(out_dir, "manifest")
+    if os.path.isdir(man_dir) and any(
+            not f.startswith((".", "_")) for f in os.listdir(man_dir)):
+        row = spark.read.parquet(man_dir).agg(
+            F.max("version").alias("m")).collect()[0]
+        if row["m"] is not None:
+            vmax = max(vmax, int(row["m"]))
+    return vmax + 1
 
 
 def _verify_done(vdir: str, done: set[str]) -> set[str]:

@@ -395,7 +395,12 @@ def _rare_term_candidates(
         return None, False
     cand = (decode_postings(index["postings"].filter(F.col("term") == rare))
             .select("doc_id").distinct())
-    return cand, dfr[rare] <= cfg.index.broadcast_ids_max
+    # the candidate decode skips tombstone filtering (a superset is
+    # correct — see above), so the broadcast bound must be the RAW id
+    # count: live df (net of replace deltas) plus every tombstone, the
+    # exact worst case after heavy replacement (r4 ADVICE #2)
+    raw_ids_ub = dfr[rare] + index.get("_n_tombstones", 0)
+    return cand, raw_ids_ub <= cfg.index.broadcast_ids_max
 
 
 def phrase_match(

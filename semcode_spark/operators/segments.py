@@ -166,6 +166,15 @@ def _add_segment_locked(
             f"positions mismatch: index stores positions={store_pos}, "
             f"segment cfg says {cfg.index.store_positions} — a mixed "
             f"index would silently miss phrase hits in new segments")
+    store_fwd = bool(read_meta(vdir).get("forward", True))
+    if store_fwd != cfg.index.store_forward:
+        # mirror of the build_index guard (r4 ADVICE #5): a segment
+        # whose forward setting contradicts the index meta would leave
+        # compaction/replace reading a forward table with holes
+        raise ValueError(
+            f"forward mismatch: index stores forward={store_fwd}, "
+            f"segment cfg says {cfg.index.store_forward} — pass "
+            f"cfg=None to inherit the index's properties")
     man_dir = os.path.join(index_dir, "manifest")
     g = _next_group(spark, index_dir, version)
 
@@ -378,9 +387,21 @@ def _compact_segments_locked(
     version = read_current_version(index_dir)
     if version is None:
         raise FileNotFoundError(f"no CURRENT pointer under {index_dir}")
-    new_version = version + 1
-    vnew = version_dir(index_dir, new_version)
     man_dir = os.path.join(index_dir, "manifest")
+    from semcode_spark.operators.index_build import _next_free_version
+    nf = _next_free_version(spark, index_dir, version)
+    if resume:
+        # resume deliberately targets the version the crashed run was
+        # building (the highest touched version past CURRENT; v{N+1}
+        # when no crash left one) to reuse its completed groups
+        new_version = max(version + 1, nf - 1)
+    else:
+        # a fresh compaction must NEVER build into a version a crashed
+        # run touched: its completed manifest rows would union stale
+        # group dirs into the committed snapshot (same hazard as the
+        # build_index rebuild path — see _next_free_version)
+        new_version = nf
+    vnew = version_dir(index_dir, new_version)
     # _verify_done guards the resume-after-gc path: gc_versions removing
     # an aborted partial v{N+1} leaves its completed manifest rows behind
     # (the manifest is append-only); trusting them would skip rewriting

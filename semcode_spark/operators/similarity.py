@@ -269,20 +269,23 @@ def ivf_assign(
 ) -> DataFrame:
     """(vec_id, list_id): each vector goes to its most-cosine-similar
     centroid (rounded similarity, ties → smallest centroid_id — a total
-    order both engines reproduce). Broadcast centroids + map-side
-    partial agg: the shuffle carries one row per vector, never the
-    n×nlist similarity relation."""
+    order both engines reproduce). Broadcast centroids + ONE map-side
+    partial argmax aggregate (``min_by`` over (-sim, centroid_id)): the
+    shuffle carries one row per vector, never the n×nlist similarity
+    relation. (r4 verdict item 2: the previous groupBy(max) + self-join
+    re-shuffled — and recomputed — the full n×nlist cross product; at
+    10^9 vectors × nlist 10^4 that is a 10^13-row exchange.)"""
     sims = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("vec_id"), F.col("centroid_id"),
         fround(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
     )
-    best = sims.groupBy("vec_id").agg(F.max("sim").alias("bs"))
-    return (
-        sims.join(best, "vec_id")
-        .filter(F.col("sim") == F.col("bs"))
-        .groupBy("vec_id")
-        .agg(F.min("centroid_id").alias("list_id"))
-    )
+    # min of the struct = (max sim, then smallest centroid_id): exactly
+    # the old max+min tie order, in a single hash aggregate
+    return sims.groupBy("vec_id").agg(
+        F.min_by(
+            "centroid_id",
+            F.struct((-F.col("sim")).alias("ns"), F.col("centroid_id")),
+        ).alias("list_id"))
 
 
 def adaptive_nprobe(nlist: int, target_recall: float = 0.7,

@@ -79,6 +79,15 @@ class ConcurrentWriterError(RuntimeError):
 
 
 _HEARTBEATS: dict = {}
+# payload of the lease file each acquire in this process wrote — the
+# identity check that keeps a zombie holder (whose lease was broken and
+# re-acquired) from heartbeating or unlinking the NEW holder's file.
+# Payload, not inode: a fresh create right after an unlink routinely
+# reuses the inode number, so st_ino cannot distinguish holders.
+_LEASE_PAYLOADS: dict = {}
+import itertools as _itertools
+
+_LEASE_SEQ = _itertools.count()
 
 
 def _pid_alive(pid: int) -> bool:
@@ -115,14 +124,18 @@ def acquire_lease(index_dir: str, owner: str, ttl_s: float = 3600.0,
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, "_lease")
     host = os.uname().nodename
-    payload = f"{owner} pid={os.getpid()} host={host}\n"
+    # seq makes every acquire's payload unique even for the same
+    # owner+pid — the heartbeat/release identity check needs it
+    payload = (f"{owner} pid={os.getpid()} host={host} "
+               f"seq={next(_LEASE_SEQ)}\n")
     for _ in range(2):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
+            _LEASE_PAYLOADS[path] = payload
             if heartbeat:
-                _start_heartbeat(path, min(60.0, ttl_s / 4.0))
+                _start_heartbeat(path, min(60.0, ttl_s / 4.0), payload)
             return path
         except FileExistsError:
             import time as _t
@@ -163,7 +176,14 @@ def _parse_holder(holder: str) -> tuple[int | None, str | None]:
     return pid, host
 
 
-def _start_heartbeat(path: str, interval_s: float) -> None:
+def _start_heartbeat(path: str, interval_s: float, payload: str) -> None:
+    """Refresh mtime every ``interval_s`` — but only while the file at
+    ``path`` is still THE lease this holder created (payload re-read).
+    If the lease was broken and re-acquired by another writer, a blind
+    utime would keep the NEW holder's file perpetually fresh even after
+    that holder dies — locking all future writers out until this zombie
+    process exits (r4 ADVICE #3). A changed/missing payload stops the
+    thread instead."""
     import threading
 
     stop = threading.Event()
@@ -171,6 +191,9 @@ def _start_heartbeat(path: str, interval_s: float) -> None:
     def beat() -> None:
         while not stop.wait(interval_s):
             try:
+                with open(path) as f:
+                    if f.read() != payload:
+                        return  # someone else's lease — never touch it
                 os.utime(path)
             except OSError:
                 return  # lease gone (released/broken): stop quietly
@@ -184,7 +207,12 @@ def release_lease(path: str) -> None:
     hb = _HEARTBEATS.pop(path, None)
     if hb is not None:
         hb[0].set()
+    mine = _LEASE_PAYLOADS.pop(path, None)
     try:
+        if mine is not None:
+            with open(path) as f:
+                if f.read() != mine:
+                    return  # broken + re-acquired: a NEW holder's file
         os.unlink(path)
     except FileNotFoundError:
         pass

@@ -19,6 +19,7 @@ start) for the duration, and convert a stalled query into a loud
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -26,18 +27,30 @@ from pyspark.sql import SparkSession
 STATE_PARTITIONS = 8
 AWAIT_TIMEOUT_SEC = 300.0
 
+# spark.conf is SESSION-wide: pinning shuffle partitions here would
+# silently re-plan any batch query a concurrent thread runs in the same
+# session, and nested runs could restore a clobbered value (r4 ADVICE
+# #4). The lock serializes pin/restore windows within this process;
+# callers running batch work concurrently with a streaming run should
+# hand that work a separate session (spark.newSession() shares the
+# SparkContext but isolates runtime conf).
+_CONF_LOCK = threading.RLock()
+
 
 @contextmanager
 def bounded_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Pin the shuffle-partition conf (restored on exit) so streaming
-    state stores are sized to the data, not the session default."""
+    state stores are sized to the data, not the session default.
+    Serialized via _CONF_LOCK — see the module note on session-wide
+    conf."""
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _CONF_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def await_bounded(query, timeout_sec: float = AWAIT_TIMEOUT_SEC) -> None:

@@ -165,6 +165,26 @@ def test_store_forward_false_positional_compaction(spark, documents, tmp_path):
     assert after == before
 
 
+def test_add_segment_forward_mismatch_raises(spark, documents, tmp_path):
+    """r4 ADVICE #5: an explicit add_segment cfg whose store_forward
+    contradicts the index meta raises (mirroring analyzer/positions);
+    cfg=None inherits and proceeds."""
+    from semcode_spark.operators.segments import add_segment
+
+    nf_cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+        term_buckets=8, block_size=16, store_forward=False))
+    d = str(tmp_path / "fwd_guard")
+    build_index(spark, documents.filter("doc_id < 200"), d, cfg=nf_cfg,
+                groups=1, count_rows=False)
+    with pytest.raises(ValueError, match="forward mismatch"):
+        add_segment(spark, d,
+                    documents.filter("doc_id >= 200 and doc_id < 220"),
+                    cfg=CFG)  # DEFAULT-style cfg stores forward=True
+    out = add_segment(spark, d,
+                      documents.filter("doc_id >= 200 and doc_id < 220"))
+    assert out["n_docs"] == 20
+
+
 def test_full_rebuild_never_merges_stale_segments(spark, documents, tmp_path):
     """ADVICE r3 #3: resume=False over an index that already has
     committed segments must NOT write into the live version dir (stale
@@ -201,3 +221,44 @@ def test_full_rebuild_never_merges_stale_segments(spark, documents, tmp_path):
     ts_a = {r["term"]: (r["df"], r["cf"]) for r in idx["term_stats"].collect()}
     ts_b = {r["term"]: (r["df"], r["cf"]) for r in clean["term_stats"].collect()}
     assert ts_a == ts_b
+
+
+def test_rebuild_after_crashed_rebuild_skips_tainted_version(
+        spark, documents, tmp_path):
+    """r4 ADVICE #1: a crashed resume=False rebuild leaves 'completed'
+    manifest rows for v{N+1}; a SECOND rebuild must not reuse that
+    version — with fewer postings groups (4 → 2) the crashed run's
+    stale group=2,3 dirs would stay visible and merge duplicate
+    postings/stats into the served index. The retry lands on the next
+    FREE version instead."""
+    import pytest as _pytest
+
+    from semcode_spark.operators.index_build import read_current_version
+
+    d = str(tmp_path / "crashed_rebuild")
+    base = documents.filter("doc_id < 300")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    assert read_current_version(d) == 0
+
+    rebuilt = documents.filter("doc_id >= 300")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, rebuilt, d, cfg=CFG, groups=4, count_rows=False,
+                    fail_after_group=1)  # v1 now holds completed groups 0,1
+    assert read_current_version(d) == 0  # old snapshot still live
+
+    out = build_index(spark, rebuilt, d, cfg=CFG, groups=2, count_rows=False)
+    assert out["version"] == 2 and read_current_version(d) == 2
+    idx = read_index(spark, d)
+    n_want = rebuilt.count()
+    assert idx["corpus"].collect()[0]["n_docs"] == n_want
+    # postings carry NOTHING from the crashed run: term stats match a
+    # clean single-shot build bit-exactly
+    clean_dir = str(tmp_path / "clean2")
+    build_index(spark, rebuilt, clean_dir, cfg=CFG, groups=2, count_rows=False)
+    clean = read_index(spark, clean_dir)
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in idx["term_stats"].collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in clean["term_stats"].collect()}
+    assert ts_a == ts_b
+    from semcode_spark.operators.query import decode_postings
+    assert (decode_postings(idx["postings"]).count()
+            == decode_postings(clean["postings"]).count())

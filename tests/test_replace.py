@@ -99,9 +99,11 @@ def test_crash_before_snapshot_commit_preserves_old_index(spark, recrawl, tmp_pa
     # still on version 0, answers identical
     assert read_current_version(d) == 0
     assert _run(spark, read_index(spark, d)) == before
-    # retry completes and preserves answers
+    # retry completes and preserves answers — into a FRESH version, not
+    # the crashed run's v1: its completed manifest rows would otherwise
+    # union stale group dirs into the committed snapshot (r4 ADVICE #1)
     compact_segments(spark, d, cfg=CFG)
-    assert read_current_version(d) == 1
+    assert read_current_version(d) == 2
     assert _run(spark, read_index(spark, d)) == before
 
 

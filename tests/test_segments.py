@@ -133,6 +133,21 @@ def test_concurrent_writer_lease(spark, documents, tmp_path):
         acquire_lease(d, "second", ttl_s=2.0)
     release_lease(hb)
 
+    # r4 ADVICE #3: a ZOMBIE holder (lease broken + re-acquired by a
+    # new writer) must neither heartbeat nor unlink the NEW holder's
+    # file — the inode check stops both
+    hb = acquire_lease(d, "zombie", ttl_s=2.0)  # beats every 0.5s
+    os.unlink(hb)  # simulate a cross-host TTL break...
+    with open(hb, "w") as f:  # ...and a new writer's re-acquire
+        f.write("new-writer pid=1 host=elsewhere\n")
+    old = _time.time() - 100
+    os.utime(hb, (old, old))
+    _time.sleep(1.3)  # ≥2 zombie beat intervals
+    assert os.path.getmtime(hb) <= old + 1  # untouched by the zombie
+    release_lease(hb)  # zombie's release must NOT unlink it either
+    assert os.path.exists(hb)
+    os.unlink(hb)
+
 
 def test_manifest_consolidation_bounds_files(spark, documents, tmp_path):
     """Compaction consolidates the per-commit manifest/metrics files;

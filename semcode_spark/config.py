@@ -98,6 +98,19 @@ class IndexConfig:
     # fall back to decoding the postings store (correct, slower).
     # An index property persisted in meta.json, like the analyzer.
     store_forward: bool = True
+    # impact-ordered block layout: within each (term, salt) run,
+    # postings are assigned to blocks by DESCENDING idf-free BM25
+    # weight (block 0 holds the term's top-`block_size` postings), with
+    # doc_ids re-sorted ascending INSIDE each block so the delta+varint
+    # codec and every decode path are unchanged. Block max_w then
+    # decays monotonically with block rank — the property that lets
+    # impact retrieval (query.wand_topk_impact) decode a bounded
+    # prefix of each list instead of all of it. Purely a performance
+    # property: queries on a mixed-layout index stay correct (every
+    # bound is predicate-based on stored max_w, never on block order).
+    # Persisted in meta.json; resume of a build must match (byte-
+    # identity of the resumed groups).
+    impact_ordered: bool = False
 
 
 @dataclass(frozen=True)

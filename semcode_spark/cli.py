@@ -33,11 +33,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip the forward table: ~20%% faster build for "
                         "append-only corpora; replace/compaction fall "
                         "back to decoding the postings store")
+    b.add_argument("--impact", action="store_true",
+                   help="impact-ordered block layout: blocks hold "
+                        "postings by descending BM25 weight so "
+                        "`query --mode impact` can decode bounded "
+                        "prefixes of huge posting lists")
 
     q = sub.add_parser("query", help="BM25 top-k query against an index")
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["auto", "flat", "pruned", "impact"],
+                   default="auto",
+                   help="auto=measured default (flat decode); impact="
+                        "MaxScore term skip + impact-prefix decode + "
+                        "forward completion (bounded decode volume; "
+                        "needs a forward table)")
 
     ph = sub.add_parser("phrase", help="exact-phrase docs from a positional index")
     ph.add_argument("--index", required=True)
@@ -87,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
                 store_positions=args.positions,
-                store_forward=not args.no_forward))
+                store_forward=not args.no_forward,
+                impact_ordered=args.impact))
             docs = spark.read.parquet(args.input)
             out = build_index(spark, docs, args.output, cfg=cfg,
                               groups=args.groups, resume=args.resume)
@@ -140,10 +152,13 @@ def main(argv: list[str] | None = None) -> int:
             from semcode_spark.operators.index_build import read_index
             from semcode_spark.operators.query import wand_topk
 
+            prune = {"auto": "auto", "flat": False, "pruned": True,
+                     "impact": "impact"}[args.mode]
             idx = read_index(spark, args.index)
             for text in args.query:
-                rows = wand_topk(spark, idx, text, k=args.k).collect()
-                json.dump({"query": text, "hits": [
+                rows = wand_topk(spark, idx, text, k=args.k,
+                                 prune=prune).collect()
+                json.dump({"query": text, "mode": args.mode, "hits": [
                     {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
                     for r in rows]}, sys.stdout)
                 print()

@@ -321,6 +321,16 @@ def main() -> None:
     extras["impact_decode_frac_per_query"] = per_q
     imp_times.sort()
     extras["impact_query_p50_sec"] = round(imp_times[len(imp_times) // 2], 3)
+    # batched impact: the whole 24-query set in THREE jobs (θ bootstrap,
+    # one merged ids-only decode, one forward-completion scoring pass)
+    t0 = time.time()
+    n_hits_imp = bm25_topk_batch(spark, xidx, REFERENCE_QUERIES,
+                                 prune="impact").count()
+    imp_batch_s = time.time() - t0
+    assert n_hits_imp == xh[False], "batched impact must stay lossless"
+    extras["impact_batch_24q_sec"] = round(imp_batch_s, 3)
+    extras["impact_batch_sec_per_query"] = round(
+        imp_batch_s / len(REFERENCE_QUERIES), 4)
     shutil.rmtree(xdir, ignore_errors=True)
 
     # ---- cold term-meta path (r4 verdict item 6): beyond the 2M-row

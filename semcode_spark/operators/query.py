@@ -534,19 +534,35 @@ def wand_topk_impact(
     cand_blocks = index["postings"].filter(pred)
     if stats is not None and stats.get("exact"):
         stats["blocks_decoded"] = cand_blocks.count()
-    cand_ids = decode_doc_ids_only(cand_blocks).select("doc_id").distinct()
     # dead candidates are harmless (their forward rows are already
     # tombstone-filtered), so the candidate side skips the anti-join;
-    # the broadcast gate therefore counts raw ids: live dfs + tombstones
+    # the size gates therefore count raw ids: live dfs + tombstones
     ids_ub = sum(meta.dfs[t] for t in live if t not in plan["skip"]) \
         + index.get("_n_tombstones", 0)
-    bcast = ids_ub <= cfg.index.broadcast_ids_max
 
-    # --- exact completion from the forward table
+    # --- exact completion from the forward table. The candidate
+    # restriction is itself an OPTIMIZATION: scoring every forward row
+    # of the live terms is equally lossless (a doc outside the decoded
+    # blocks scores < θ_eff and only trails the true top-k), so the
+    # ids-decode + join is applied only while the candidate set can
+    # actually SHRINK the forward read — when its upper bound
+    # approaches the corpus (low-θ / stopword-heavy regimes at small
+    # scale), the join is a pure extra shuffle and is skipped
+    # (measured: 48→~5 s on the 24-query crossover batch).
     from semcode_spark.operators.index_build import live_forward
     fwd = live_forward(index).filter(F.col("term").isin(live))
-    matched = fwd.join(
-        F.broadcast(cand_ids) if bcast else cand_ids, "doc_id")
+    cand_worthwhile = ids_ub <= max(cfg.index.broadcast_ids_max,
+                                    int(n_docs) // 4)
+    if stats is not None:
+        stats["cand_join"] = bool(cand_worthwhile)
+    if cand_worthwhile:
+        cand_ids = decode_doc_ids_only(cand_blocks) \
+            .select("doc_id").distinct()
+        bcast = ids_ub <= cfg.index.broadcast_ids_max
+        matched = fwd.join(
+            F.broadcast(cand_ids) if bcast else cand_ids, "doc_id")
+    else:
+        matched = fwd
     k1, b = cfg.bm25.k1, cfg.bm25.b
     idf_map = F.create_map(*chain.from_iterable(
         (F.lit(t), F.lit(v)) for t, v in meta.idfs.items()))
@@ -1168,6 +1184,10 @@ def bm25_topk_batch(
 
     meta = _term_meta(spark, index, all_terms, n_docs, avgdl)
     idfs, term_ubs, best = meta.idfs, meta.ubs, meta.best
+    if prune == "impact":
+        return _bm25_topk_batch_impact(
+            spark, index, queries, q_terms, qterms, ks, meta,
+            n_docs, avgdl, cfg)
     if prune == "auto":
         # auto = flat (r4, measured — see wand_topk and BENCH/
         # BASELINE.md): batched pruning is even weaker than the single-
@@ -1245,6 +1265,182 @@ def bm25_topk_batch(
     )
     return (
         scored_from(blocks_df)
+        .withColumn("rank", F.row_number().over(win))
+        .join(F.broadcast(ks), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _meta_slice(meta: TermMeta, terms: list[str]) -> TermMeta:
+    """meta restricted to one query's terms (for per-query planning)."""
+    ts = [t for t in terms if t in meta.idfs]
+    return TermMeta(
+        {t: meta.idfs[t] for t in ts}, {t: meta.ubs[t] for t in ts},
+        {t: meta.best[t] for t in ts},
+        sum(meta.blocks.get(t, 0) for t in ts),
+        {t: meta.blocks.get(t, 0) for t in ts},
+        {t: meta.dfs[t] for t in ts},
+        {t: meta.hists[t] for t in ts if t in meta.hists})
+
+
+def _bm25_topk_batch_impact(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    queries: list[tuple[int, str, int]],
+    q_terms: dict[int, list[str]],
+    qterms: DataFrame,
+    ks: DataFrame,
+    meta: TermMeta,
+    n_docs: float,
+    avgdl: float,
+    cfg: EngineConfig,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batched impact retrieval: wand_topk_impact's bounded-decode plan
+    amortized across the whole query set — THREE jobs total (θ
+    bootstrap for every query at once, ONE ids-only decode of the
+    merged planned blocks, one forward-completion scoring pass),
+    instead of per-query jobs.
+
+    Per-term decode decisions merge across queries conservatively: full
+    if any query needs the term fully, else the MINIMUM cut over
+    queries that cut it, else skip. The decoded set is therefore a
+    superset of every query's own plan, so per query q any doc absent
+    from q's decoded blocks scores < θ_eff_q (q's own joint tail
+    bound). Scoring from the forward table may also score docs that
+    are candidates only via ANOTHER query's blocks — harmless: such a
+    doc's score for q is provably below q's θ bucket, so it cannot
+    displace a true top-k member (it can only trail them). Lossless:
+    tests assert impact == flat batch."""
+    if index.get("forward") is None:
+        raise ValueError(
+            "impact retrieval needs the forward table "
+            "(IndexConfig(store_forward=True))")
+    live = sorted(meta.idfs)
+    if not live:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+    idf_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(v)) for t, v in meta.idfs.items()))
+
+    # --- job 1: θ bootstrap for every query at once (union of the
+    # terms' best blocks, per-query kth best)
+    best_pred = None
+    for t, (g, s, bb) in meta.best.items():
+        c = ((F.col("term") == t) & (F.col("group") == g)
+             & (F.col("salt") == s) & (F.col("block_id") == bb))
+        best_pred = c if best_pred is None else (best_pred | c)
+    boot = filter_dead_postings(
+        decode_postings(index["postings"].filter(best_pred)),
+        index.get("tombstones"), index.get("_n_tombstones", 0))
+    win_b = Window.partitionBy("query_id").orderBy(
+        F.round("score", cfg.bm25.rank_decimals).desc(),
+        F.col("doc_id").asc())
+    theta_rows = (
+        boot.withColumn("idf", idf_map[F.col("term")])
+        .join(index["docs"], "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * w).alias("score"))
+        .withColumn("rank", F.row_number().over(win_b))
+        .join(F.broadcast(ks), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("score").alias("kth"),
+            F.max("k").alias("k"))
+        .collect()
+    )
+    eps = 1.5 / (10 ** cfg.bm25.rank_decimals)
+    theta_eff = {r["query_id"]: (r["kth"] - eps if r["n"] >= r["k"]
+                                 else None) for r in theta_rows}
+
+    # --- per-query plans, merged per term: full > min-cut > skip
+    decision: dict[str, tuple[str, float]] = {}  # term -> (kind, cut)
+
+    def _need(t: str, kind: str, cut: float = 0.0) -> None:
+        cur = decision.get(t)
+        if kind == "full" or (cur is not None and cur[0] == "full"):
+            decision[t] = ("full", 0.0)
+        elif kind == "cut":
+            if cur is None or cur[0] == "skip":
+                decision[t] = ("cut", cut)
+            else:
+                decision[t] = ("cut", min(cur[1], cut))
+        elif cur is None:
+            decision[t] = ("skip", 0.0)
+
+    for qid, ts in q_terms.items():
+        sub = _meta_slice(meta, ts)
+        plan = _impact_plan(sub, theta_eff.get(qid)) \
+            if theta_eff.get(qid) is not None else None
+        if plan is None:
+            for t in sub.idfs:
+                _need(t, "full")
+            continue
+        for t in plan["full"]:
+            _need(t, "full")
+        for t, cw in plan["cut"].items():
+            _need(t, "cut", cw)
+        for t in plan["skip"]:
+            _need(t, "skip")
+
+    adl_corr = F.greatest(F.lit(1.0), F.lit(avgdl) / F.col("avgdl_enc"))
+    pred = None
+    for t, (kind, cut) in sorted(decision.items()):
+        if kind == "skip":
+            continue
+        c = (F.col("term") == t) if kind == "full" else \
+            ((F.col("term") == t) & (F.col("max_w") * adl_corr >= F.lit(cut)))
+        pred = c if pred is None else (pred | c)
+    if stats is not None:
+        stats["decision"] = dict(decision)
+    if pred is None:
+        # every term skippable for every query: the bootstrap docs
+        # already dominate every other doc; still score them exactly
+        pred = best_pred
+
+    # --- job 2+3 (one action): ids-only decode of the merged planned
+    # blocks → union candidate ids → forward completion, scored per
+    # (query, doc) over each query's terms, per-query window top-k
+    cand_blocks = index["postings"].filter(pred)
+    if stats is not None and stats.get("exact"):
+        stats["blocks_decoded"] = cand_blocks.count()
+        stats["blocks_candidate"] = (
+            index["postings"].filter(F.col("term").isin(live)).count())
+    ids_ub = sum(meta.dfs[t] for t, d in decision.items()
+                 if d[0] != "skip") + index.get("_n_tombstones", 0)
+    from semcode_spark.operators.index_build import live_forward
+    fwd = live_forward(index).filter(F.col("term").isin(live))
+    # candidate restriction only while it can shrink the forward read —
+    # see wand_topk_impact: scoring every live-term forward row is
+    # equally lossless, and a candidate set near the corpus makes the
+    # ids-decode + join a pure extra shuffle
+    cand_worthwhile = ids_ub <= max(cfg.index.broadcast_ids_max,
+                                    int(n_docs) // 4)
+    if stats is not None:
+        stats["cand_join"] = bool(cand_worthwhile)
+    if cand_worthwhile:
+        cand_ids = decode_doc_ids_only(cand_blocks) \
+            .select("doc_id").distinct()
+        bcast = ids_ub <= cfg.index.broadcast_ids_max
+        matched = fwd.join(
+            F.broadcast(cand_ids) if bcast else cand_ids, "doc_id")
+    else:
+        matched = fwd
+    win = Window.partitionBy("query_id").orderBy(
+        F.round("score", cfg.bm25.rank_decimals).desc(),
+        F.col("doc_id").asc())
+    return (
+        matched.withColumn("idf", idf_map[F.col("term")])
+        .join(index["docs"], "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * w).alias("score"))
         .withColumn("rank", F.row_number().over(win))
         .join(F.broadcast(ks), "query_id")
         .filter(F.col("rank") <= F.col("k"))

@@ -205,3 +205,43 @@ def test_impact_compaction_preserves_layout(spark, documents, tmp_path):
              wand_topk_impact(spark, idx2, "spark query data", k=10,
                               cfg=CFG_IMPACT).collect()]
     assert after == before
+
+
+def test_batch_impact_matches_flat(spark, documents, tmp_path):
+    """Batched impact retrieval == flat batch, including replaced docs
+    (tombstones), per-query k, OOV queries, and single-term queries —
+    three jobs for the whole set, decode bounded by the merged plans."""
+    from semcode_spark.operators.query import bm25_topk_batch
+    from semcode_spark.operators.segments import add_segment
+
+    d = str(tmp_path / "batchimp")
+    build_index(spark, documents, d, cfg=CFG_IMPACT, groups=2,
+                count_rows=False)
+    add_segment(spark, d, documents.filter("doc_id < 30").withColumn(
+        "text", F.concat(F.lit("fresh spark query data "), F.col("text"))))
+    idx = read_index(spark, d)
+    queries = [(0, "spark query data", 10), (1, "dup merge", 10),
+               (2, "the", 5), (3, "table scan", 7), (4, "zzz_nohit", 3),
+               (5, "sort batch window", 10)]
+
+    def rows(prune):
+        out = bm25_topk_batch(spark, idx, queries, cfg=CFG_IMPACT,
+                              prune=prune).collect()
+        return sorted((r["query_id"], r["rank"], r["doc_id"],
+                       round(r["score"], 9)) for r in out)
+
+    assert rows("impact") == rows(False)
+
+
+def test_batch_impact_requires_forward(spark, documents, tmp_path):
+    from semcode_spark.operators.query import bm25_topk_batch
+
+    cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
+        term_buckets=8, block_size=16, store_forward=False))
+    d = str(tmp_path / "batchimp_nofwd")
+    build_index(spark, documents.limit(100), d, cfg=cfg, groups=1,
+                count_rows=False)
+    idx = read_index(spark, d)
+    with pytest.raises(ValueError, match="forward"):
+        bm25_topk_batch(spark, idx, [(0, "the data", 5)], cfg=cfg,
+                        prune="impact").collect()

@@ -40,6 +40,18 @@ class BM25Config:
     # sum), so raw-float ordering is not reproducible — rounded ordering
     # is (SURVEY §7.3 hard part c)
     rank_decimals: int = 9
+    # prune="auto" switches from the flat decode to impact retrieval
+    # (wand_topk_impact: MaxScore term skip + impact-prefix decode +
+    # forward completion) once a query's candidate blocks exceed this.
+    # Sizing: impact costs ~2 extra Spark jobs (~1 s floor on this
+    # box); at ~10M postings/s decode throughput they repay once the
+    # SKIPPABLE volume reaches ~10^7 postings ≈ 10^5 blocks — 5×10^5
+    # (~6×10^7 candidate postings) adds margin for the measured ~40%
+    # decode fraction. Below it, flat wins at every scale this sandbox
+    # can reach (measured through 91k blocks, BENCH/BASELINE.md);
+    # the threshold is unreachable here by construction — re-measure
+    # the crossover on a real cluster before tuning it.
+    impact_auto_min_blocks: int = 500_000
 
 
 @dataclass(frozen=True)

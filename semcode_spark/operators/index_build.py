@@ -657,7 +657,11 @@ def write_term_bounds(spark: SparkSession, vdir: str, group: int) -> int:
     ladder impact retrieval plans against (decode the top r blocks ⇒
     every undecoded block has max_w < w_hist[r]). ~log2(n_blocks)
     entries per term, so the term dictionary stays driver-collectable;
-    one extra window shuffle over block METADATA rows (never bytes)."""
+    one extra window shuffle over block METADATA rows (never bytes).
+    (A denser ladder — pow2 plus 1.5× midpoints — was measured on the
+    45k-block crossover corpus: decode fraction 0.591 vs 0.586, i.e.
+    no benefit; the fraction is bound by the plan's θ constraint, not
+    ladder granularity, so the smaller metadata wins.)"""
     from pyspark.sql.window import Window as _W
 
     blocks = spark.read.parquet(os.path.join(vdir, "postings", f"group={group}"))

@@ -268,21 +268,20 @@ def wand_topk(
     cand = index["postings"].filter(F.col("term").isin(terms))
 
     if prune == "auto":
-        # auto = flat (r4, measured — see BENCH/BASELINE.md "static
-        # block-max pruning"): the θ-bootstrap costs 1-2 extra Spark
-        # jobs, and the static per-term filter rarely removes blocks —
-        # for multi-term queries the cutoff (θ − Σ other terms' upper
-        # bounds)/idf goes ≤ 0 whenever any other term alone could
-        # reach θ (measured: 30/31 reference-set terms, 100% survivors
-        # at 91k candidate blocks), and for single-term queries block
-        # max_w is near-uniform across a term's blocks on web-like
-        # corpora. Measured flat < pruned at every reachable scale
-        # (3.6k / 9k / 45k / 91k blocks; e.g. 0.79s vs 2.36s single-
-        # term at 500k docs). Pruning stays available explicitly
-        # (prune=True, verified lossless) for the regime that could
-        # repay the bootstrap: k ≪ df, tail-heavy per-block score
-        # variance, and decode volume ≫ the per-job floor.
-        prune = False
+        # auto = flat at sandbox scales (r4, measured — see BENCH/
+        # BASELINE.md "static block-max pruning"): extra jobs cost
+        # ~0.5 s each and the static per-term filter prunes ~nothing
+        # (100% survivors at 91k candidate blocks; flat < pruned at
+        # every reachable scale). Past impact_auto_min_blocks (r5) the
+        # decode volume itself dominates the job floor and auto
+        # switches to impact retrieval — the bounded-decode path —
+        # provided the index carries the forward table it completes
+        # from. prune=True (static filter) stays available explicitly.
+        if (n_blocks > cfg.bm25.impact_auto_min_blocks
+                and index.get("forward") is not None):
+            prune = "impact"
+        else:
+            prune = False
 
     if prune == "impact":
         return wand_topk_impact(spark, index, query, k, cfg)
@@ -1189,14 +1188,18 @@ def bm25_topk_batch(
             spark, index, queries, q_terms, qterms, ks, meta,
             n_docs, avgdl, cfg)
     if prune == "auto":
-        # auto = flat (r4, measured — see wand_topk and BENCH/
-        # BASELINE.md): batched pruning is even weaker than the single-
-        # query case because each term's cutoff is minimized over EVERY
-        # query containing it — one low-θ query keeps the term's whole
-        # posting list for the batch. Measured 100% survivors on the
-        # 24-query reference set at 45k and 91k candidate blocks, with
-        # flat < pruned at every scale (1.78s vs 5.12s at 300k distinct
-        # webtext docs). prune=True stays available and lossless.
+        # auto = flat at sandbox scales (r4, measured — see wand_topk
+        # and BENCH/BASELINE.md): batched STATIC pruning is weaker
+        # still (per-term cutoffs minimized over every query sharing
+        # the term; 100% survivors at 45k/91k blocks). Past
+        # impact_auto_min_blocks the batch switches to impact retrieval
+        # (r5) — three jobs for the whole set, decode bounded by the
+        # merged per-query plans — when the forward table exists.
+        if (meta.n_blocks > cfg.bm25.impact_auto_min_blocks
+                and index.get("forward") is not None):
+            return _bm25_topk_batch_impact(
+                spark, index, queries, q_terms, qterms, ks, meta,
+                n_docs, avgdl, cfg)
         prune = False
 
     w = (F.col("tf") * (k1 + 1.0)) / (

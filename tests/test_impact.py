@@ -245,3 +245,45 @@ def test_batch_impact_requires_forward(spark, documents, tmp_path):
     with pytest.raises(ValueError, match="forward"):
         bm25_topk_batch(spark, idx, [(0, "the data", 5)], cfg=cfg,
                         prune="impact").collect()
+
+
+def test_auto_switches_to_impact_past_block_threshold(
+        spark, documents, impact_index, monkeypatch):
+    """prune='auto' = flat below impact_auto_min_blocks (measured r4),
+    impact above it (r5) — and the switch is invisible in the answers."""
+    import semcode_spark.operators.query as Q
+    from semcode_spark.operators.query import bm25_topk_batch
+
+    low = EngineConfig(bm25=BM25Config(impact_auto_min_blocks=1),
+                       index=CFG_IMPACT.index)
+    calls = {"n": 0}
+    real = Q.wand_topk_impact
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(Q, "wand_topk_impact", spy)
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            wand_topk(spark, impact_index, "spark query data", k=10,
+                      cfg=CFG_IMPACT, prune=False).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           wand_topk(spark, impact_index, "spark query data", k=10,
+                     cfg=low, prune="auto").collect()]
+    assert got == want and calls["n"] == 1
+    # default threshold: auto stays flat (impact not invoked)
+    wand_topk(spark, impact_index, "spark query data", k=10,
+              cfg=CFG_IMPACT, prune="auto").collect()
+    assert calls["n"] == 1
+
+    # batch auto follows the same switch, rank-identically
+    queries = [(0, "spark query data", 10), (1, "the", 5)]
+    a = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in bm25_topk_batch(
+                   spark, impact_index, queries, cfg=low,
+                   prune="auto").collect())
+    b = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in bm25_topk_batch(
+                   spark, impact_index, queries, cfg=CFG_IMPACT,
+                   prune=False).collect())
+    assert a == b

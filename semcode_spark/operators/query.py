@@ -323,6 +323,23 @@ def wand_topk(
     )
 
 
+def _best_block_pred(best: dict[str, tuple[int, int, int]]):
+    """Literal predicate selecting each term's build-time best block."""
+    pred = None
+    for t, (g, s, b) in best.items():
+        c = ((F.col("term") == t) & (F.col("group") == g)
+             & (F.col("salt") == s) & (F.col("block_id") == b))
+        pred = c if pred is None else (pred | c)
+    return pred
+
+
+def _theta_slack(cfg: EngineConfig) -> float:
+    """One full rounding bucket — the prune-safe θ margin (see
+    _bootstrap_theta_eff for the proof sketch). Single definition so
+    the single, static-pruned and batch paths cannot drift."""
+    return 1.5 / (10 ** cfg.bm25.rank_decimals)
+
+
 def _bootstrap_theta_eff(
     spark: SparkSession,
     index: dict,
@@ -346,11 +363,7 @@ def _bootstrap_theta_eff(
     θ − 1/10^d < round(θ). Cost: at most one extra bucket decoded."""
     if not best:
         return None
-    best_pred = None
-    for t, (g, s, b) in best.items():
-        c = ((F.col("term") == t) & (F.col("group") == g)
-             & (F.col("salt") == s) & (F.col("block_id") == b))
-        best_pred = c if best_pred is None else (best_pred | c)
+    best_pred = _best_block_pred(best)
     avgdl = float(index["_corpus_row"]["avgdl"])
     theta_rows = (
         _score_blocks(index["postings"].filter(best_pred), idfs, avgdl,
@@ -362,7 +375,7 @@ def _bootstrap_theta_eff(
     )
     if len(theta_rows) < k:
         return None
-    return theta_rows[-1]["score"] - 1.5 / (10 ** cfg.bm25.rank_decimals)
+    return theta_rows[-1]["score"] - _theta_slack(cfg)
 
 
 def _impact_plan(meta: TermMeta, theta_eff: float) -> dict | None:
@@ -385,7 +398,15 @@ def _impact_plan(meta: TermMeta, theta_eff: float) -> dict | None:
 
     Returns {'skip': [...], 'cut': {term: w}, 'full': [...],
     'bound': B, 'est_blocks': int} or None when no pruning is possible
-    (θ_eff ≤ 0, or the plan degenerates to decode-everything)."""
+    (θ_eff ≤ 0, or the plan degenerates to decode-everything).
+
+    ``est_blocks`` (and the greedy's per-step costs) come from the
+    power-of-two-sampled histogram ranks, which LOWER-bound the true
+    block count at a cut (true count can be up to ~2× the sampled rank,
+    plus blocks the avgdl-corrected predicate admits beyond the
+    raw-ranked count) — fine for steering the greedy, but decode-volume
+    METRICS should use stats['exact'] (a real count of the planned
+    blocks), which the bench does."""
     if theta_eff is None or theta_eff <= 0 or not meta.ubs:
         return None
     ladders: dict[str, list[tuple[float, float, float | None]]] = {}
@@ -475,6 +496,11 @@ def wand_topk_impact(
     ``stats``: pass a dict to receive the decode-volume diagnostics
     (blocks_candidate, blocks_decoded, skipped/cut/full terms, θ_eff) —
     the bench's blocks-decoded/blocks-candidate metric.
+    ``blocks_decoded`` is the PLAN's decode requirement — the volume an
+    at-scale run decodes for candidate generation; when the sandbox
+    cand_worthwhile gate skips the candidate join (``stats['cand_join']
+    = False``) those blocks are not physically decoded in THIS run (the
+    forward scan serves instead), so read the pair together.
     """
     k = k or cfg.bm25.default_k
     terms = _query_terms(index, query)
@@ -1185,7 +1211,7 @@ def bm25_topk_batch(
     idfs, term_ubs, best = meta.idfs, meta.ubs, meta.best
     if prune == "impact":
         return _bm25_topk_batch_impact(
-            spark, index, queries, q_terms, qterms, ks, meta,
+            spark, index, q_terms, qterms, ks, meta,
             n_docs, avgdl, cfg)
     if prune == "auto":
         # auto = flat at sandbox scales (r4, measured — see wand_topk
@@ -1198,7 +1224,7 @@ def bm25_topk_batch(
         if (meta.n_blocks > cfg.bm25.impact_auto_min_blocks
                 and index.get("forward") is not None):
             return _bm25_topk_batch_impact(
-                spark, index, queries, q_terms, qterms, ks, meta,
+                spark, index, q_terms, qterms, ks, meta,
                 n_docs, avgdl, cfg)
         prune = False
 
@@ -1224,11 +1250,7 @@ def bm25_topk_batch(
     if prune and term_ubs:
         # θ bootstrap for ALL queries in one job: each term's single
         # best block (build-time pointer), scored per query
-        best_pred = None
-        for t, (g, s, bb) in best.items():
-            c = ((F.col("term") == t) & (F.col("group") == g)
-                 & (F.col("salt") == s) & (F.col("block_id") == bb))
-            best_pred = c if best_pred is None else (best_pred | c)
+        best_pred = _best_block_pred(best)
         win_b = Window.partitionBy("query_id").orderBy(
             F.round("score", cfg.bm25.rank_decimals).desc(),
             F.col("doc_id").asc())
@@ -1243,7 +1265,7 @@ def bm25_topk_batch(
                 F.max("k").alias("k"))
             .collect()
         )
-        eps = 1.5 / (10 ** cfg.bm25.rank_decimals)  # one full rounding
+        eps = _theta_slack(cfg)
         theta_eff = {r["query_id"]: (r["kth"] - eps if r["n"] >= r["k"]
                                      else -1e30) for r in theta_rows}
         for qid, _, _ in queries:
@@ -1290,7 +1312,6 @@ def _meta_slice(meta: TermMeta, terms: list[str]) -> TermMeta:
 def _bm25_topk_batch_impact(
     spark: SparkSession,
     index: dict[str, DataFrame],
-    queries: list[tuple[int, str, int]],
     q_terms: dict[int, list[str]],
     qterms: DataFrame,
     ks: DataFrame,
@@ -1332,11 +1353,7 @@ def _bm25_topk_batch_impact(
 
     # --- job 1: θ bootstrap for every query at once (union of the
     # terms' best blocks, per-query kth best)
-    best_pred = None
-    for t, (g, s, bb) in meta.best.items():
-        c = ((F.col("term") == t) & (F.col("group") == g)
-             & (F.col("salt") == s) & (F.col("block_id") == bb))
-        best_pred = c if best_pred is None else (best_pred | c)
+    best_pred = _best_block_pred(meta.best)
     boot = filter_dead_postings(
         decode_postings(index["postings"].filter(best_pred)),
         index.get("tombstones"), index.get("_n_tombstones", 0))
@@ -1358,7 +1375,7 @@ def _bm25_topk_batch_impact(
             F.max("k").alias("k"))
         .collect()
     )
-    eps = 1.5 / (10 ** cfg.bm25.rank_decimals)
+    eps = _theta_slack(cfg)
     theta_eff = {r["query_id"]: (r["kth"] - eps if r["n"] >= r["k"]
                                  else None) for r in theta_rows}
 

@@ -176,6 +176,17 @@ def _add_segment_locked(
             f"forward mismatch: index stores forward={store_fwd}, "
             f"segment cfg says {cfg.index.store_forward} — pass "
             f"cfg=None to inherit the index's properties")
+    store_imp = bool(read_meta(vdir).get("impact", False))
+    if store_imp != cfg.index.impact_ordered:
+        # queries on a mixed-layout index stay CORRECT (every bound is
+        # predicate-based on stored max_w), but a doc_id-ordered
+        # segment silently loses the max_w-decay property impact
+        # retrieval's prefix pruning relies on — the same
+        # silent-property-drift class as the guards above
+        raise ValueError(
+            f"impact-layout mismatch: index stores impact={store_imp}, "
+            f"segment cfg says {cfg.index.impact_ordered} — pass "
+            f"cfg=None to inherit the index's properties")
     man_dir = os.path.join(index_dir, "manifest")
     g = _next_group(spark, index_dir, version)
 
@@ -414,7 +425,19 @@ def _compact_segments_locked(
         # with a different `groups` would mix pmod(bucket, G) predicates
         # and silently duplicate/drop buckets
         prior = read_meta(vnew).get("compaction_groups")
-        if prior is not None and prior != groups:
+        if prior is None:
+            # the partial version was NOT built by a compaction — a
+            # crashed build_index REBUILD shares the same manifest stage
+            # names ('stats'/'postings') but its stages come from
+            # arbitrary input docs under its own grain; adopting them
+            # would commit a snapshot mixing rebuild groups with
+            # compaction groups. Build fresh into the next FREE version
+            # instead (a crashed compaction always stamps
+            # compaction_groups in the same step as its first
+            # manifest row, so prior=None ⇔ not-a-compaction).
+            new_version, done = nf, set()
+            vnew = version_dir(index_dir, new_version)
+        elif prior != groups:
             raise ValueError(
                 f"compaction resume with groups={groups} but the partial "
                 f"run used groups={prior}; pass the same grain")

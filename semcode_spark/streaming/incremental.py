@@ -92,29 +92,29 @@ def streaming_dedup_groups(
         tmp_dir = tempfile.mkdtemp(prefix="docs_dedup_stream_")
         os.symlink(docs_path, os.path.join(tmp_dir, os.path.basename(docs_path)))
         docs_path = tmp_dir
-    from semcode_spark.streaming.runner import (
-        await_bounded, bounded_state_partitions)
+    from semcode_spark.streaming.runner import run_bounded
+
+    def _start():
+        stream = spark.readStream.schema(schema).parquet(docs_path)
+        fp = stream.select(
+            F.col("doc_id"),
+            F.md5(F.concat_ws(" ", tokens_col("text"))).alias("fp"),
+        )
+        groups = fp.groupBy("fp").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return (
+            groups.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     try:
-        with bounded_state_partitions(spark):
-            stream = spark.readStream.schema(schema).parquet(docs_path)
-            fp = stream.select(
-                F.col("doc_id"),
-                F.md5(F.concat_ws(" ", tokens_col("text"))).alias("fp"),
-            )
-            groups = fp.groupBy("fp").agg(
-                F.min("doc_id").alias("keep_id"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            q = (
-                groups.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("complete")
-                .option("checkpointLocation", checkpoint_dir)
-                .trigger(availableNow=True)
-                .start()
-            )
-            await_bounded(q)
+        run_bounded(spark, _start)
         return spark.table(query_name)
     finally:
         if tmp_dir is not None:  # availableNow terminated: files no longer read
@@ -169,22 +169,22 @@ def streaming_event_stats(
         tmp_dir = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(events_path, os.path.join(tmp_dir, os.path.basename(events_path)))
         events_path = tmp_dir
-    from semcode_spark.streaming.runner import (
-        await_bounded, bounded_state_partitions)
+    from semcode_spark.streaming.runner import run_bounded
+
+    def _start():
+        stream = spark.readStream.schema(schema).parquet(events_path)
+        agg = windowed_event_stats(stream, window=window)
+        return (
+            agg.writeStream.format("memory")
+            .queryName("event_stats")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     try:
-        with bounded_state_partitions(spark):
-            stream = spark.readStream.schema(schema).parquet(events_path)
-            agg = windowed_event_stats(stream, window=window)
-            q = (
-                agg.writeStream.format("memory")
-                .queryName("event_stats")
-                .outputMode("complete")
-                .option("checkpointLocation", checkpoint_dir)
-                .trigger(availableNow=True)
-                .start()
-            )
-            await_bounded(q)
+        run_bounded(spark, _start)
         return spark.table("event_stats")
     finally:
         if tmp_dir is not None:

@@ -41,8 +41,12 @@ _CONF_LOCK = threading.RLock()
 def bounded_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Pin the shuffle-partition conf (restored on exit) so streaming
     state stores are sized to the data, not the session default.
-    Serialized via _CONF_LOCK — see the module note on session-wide
-    conf."""
+    Serialized via _CONF_LOCK — so keep the body SHORT: wrap only the
+    query definition + .start() (the state-store partition count is
+    frozen from this conf at query start), never the await — holding
+    the lock across a 300 s awaitTermination would serialize every
+    concurrent streaming run in the process. run_bounded does this
+    correctly; prefer it."""
     key = "spark.sql.shuffle.partitions"
     with _CONF_LOCK:
         old = spark.conf.get(key)
@@ -51,6 +55,19 @@ def bounded_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
             yield
         finally:
             spark.conf.set(key, old)
+
+
+def run_bounded(spark: SparkSession, start_query,
+                n: int = STATE_PARTITIONS,
+                timeout_sec: float = AWAIT_TIMEOUT_SEC):
+    """Start an availableNow query under the pinned-conf lock, await it
+    OUTSIDE the lock. ``start_query()`` must define the stream and
+    return the started StreamingQuery; concurrent streaming runs only
+    contend for the brief start window, not each other's processing."""
+    with bounded_state_partitions(spark, n):
+        q = start_query()
+    await_bounded(q, timeout_sec)
+    return q
 
 
 def await_bounded(query, timeout_sec: float = AWAIT_TIMEOUT_SEC) -> None:

@@ -69,32 +69,32 @@ def running_event_stats(
         tmp_dir = tempfile.mkdtemp(prefix="events_state_")
         os.symlink(events_path, os.path.join(tmp_dir, os.path.basename(events_path)))
         events_path = tmp_dir
-    from semcode_spark.streaming.runner import (
-        await_bounded, bounded_state_partitions)
+    from semcode_spark.streaming.runner import run_bounded
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_path)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     try:
-        with bounded_state_partitions(spark):
-            stream = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", max_files_per_trigger)
-                .parquet(events_path)
-            )
-            out = stream.groupBy("event_type").applyInPandasWithState(
-                _update,
-                outputStructType=OUTPUT_SCHEMA,
-                stateStructType=STATE_SCHEMA,
-                outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout,
-            )
-            q = (
-                out.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("update")
-                .option("checkpointLocation", checkpoint_dir)
-                .trigger(availableNow=True)
-                .start()
-            )
-            await_bounded(q)
+        run_bounded(spark, _start)
         return spark.table(query_name)
     finally:
         if tmp_dir is not None:

@@ -425,3 +425,29 @@ def test_mega_batch_broadcast_gating(spark, recrawl, tmp_path):
     ts_a = {r["term"]: (r["df"], r["cf"]) for r in inc["term_stats"].collect()}
     ts_b = {r["term"]: (r["df"], r["cf"]) for r in full["term_stats"].collect()}
     assert ts_a == ts_b
+
+
+def test_compaction_resume_never_adopts_crashed_rebuild_stages(
+        spark, documents, tmp_path):
+    """A crashed resume=False REBUILD leaves 'stats'/'postings' rows for
+    v1 under its own grain; a later compact_segments(resume=True) must
+    NOT adopt them (meta has no compaction_groups ⇒ the partial version
+    was not a compaction) — adopting would commit a snapshot mixing
+    rebuild groups (pmod(bucket,4)) with compaction groups
+    (pmod(bucket,2)), silently dropping/duplicating buckets."""
+    d = str(tmp_path / "rebuild_then_compact")
+    base = documents.filter("doc_id < 300")
+    build_index(spark, base, d, cfg=CFG, groups=1, count_rows=False)
+    before = _run(spark, read_index(spark, d))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        # crashed rebuild over DIFFERENT docs, 4-group grain, lands
+        # partial stages in v1
+        build_index(spark, documents.filter("doc_id >= 300"), d, cfg=CFG,
+                    groups=4, count_rows=False, fail_after_group=1)
+    assert read_current_version(d) == 0
+    out = compact_segments(spark, d, cfg=CFG, groups=2, resume=True)
+    # landed on a FRESH version, not the rebuild's v1
+    assert out["version"] == 2 and read_current_version(d) == 2
+    idx = read_index(spark, d)
+    assert idx["docs"].count() == 300  # v0's corpus, not the rebuild's
+    assert _run(spark, idx) == before

@@ -52,6 +52,15 @@ class BM25Config:
     # the threshold is unreachable here by construction — re-measure
     # the crossover on a real cluster before tuning it.
     impact_auto_min_blocks: int = 500_000
+    # θ-bootstrap depth for impact retrieval: decode the top-`depth`
+    # impact blocks of EVERY query term (all salts/groups) instead of
+    # just each term's single best block. Deeper bootstraps see more
+    # docs with fuller cross-term sums, so θ_eff rises and the planner
+    # skips more: measured on the 45.5k-block crossover corpus,
+    # 24-query decode fraction 0.55 (depth 1) → 0.48 (2) → 0.32 (4) →
+    # 0.31 (8) — 4 is the knee. Bootstrap decode volume is
+    # depth × salts × groups blocks per term: constant in corpus size.
+    impact_bootstrap_depth: int = 4
 
 
 @dataclass(frozen=True)

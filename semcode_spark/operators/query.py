@@ -378,6 +378,40 @@ def _bootstrap_theta_eff(
     return theta_rows[-1]["score"] - _theta_slack(cfg)
 
 
+def _bootstrap_theta_eff_prefix(
+    spark: SparkSession,
+    index: dict,
+    idfs: dict[str, float],
+    k: int,
+    cfg: EngineConfig,
+) -> float | None:
+    """Impact-mode θ bootstrap: score the docs of every query term's
+    top-``impact_bootstrap_depth`` blocks (all salts/groups — in the
+    impact layout those hold the terms' highest-weight postings).
+    Deeper than the single-best-block bootstrap: more docs are seen
+    with fuller cross-term partial sums, so the k-th score — still a
+    valid lower bound on the true k-th — is tighter and the planner
+    skips more (measured 0.55 → 0.32 decode fraction at depth 4,
+    config.py). Decode volume is depth × salts × groups blocks per
+    term: constant in corpus size."""
+    if not idfs:
+        return None
+    pred = (F.col("term").isin(list(idfs))
+            & (F.col("block_id") < cfg.bm25.impact_bootstrap_depth))
+    avgdl = float(index["_corpus_row"]["avgdl"])
+    rows = (
+        _score_blocks(index["postings"].filter(pred), idfs, avgdl,
+                      index, cfg)
+        .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        return None
+    return rows[-1]["score"] - _theta_slack(cfg)
+
+
 def _impact_plan(meta: TermMeta, theta_eff: float) -> dict | None:
     """Minimum-decode plan meeting the lossless unseen-doc bound.
 
@@ -528,8 +562,7 @@ def wand_topk_impact(
             .limit(k)
         )
 
-    theta_eff = _bootstrap_theta_eff(spark, index, meta.idfs, meta.best,
-                                     k, cfg)
+    theta_eff = _bootstrap_theta_eff_prefix(spark, index, meta.idfs, k, cfg)
     plan = _impact_plan(meta, theta_eff) if theta_eff is not None else None
     if stats is not None:
         stats.update({
@@ -1351,9 +1384,12 @@ def _bm25_topk_batch_impact(
     idf_map = F.create_map(*chain.from_iterable(
         (F.lit(t), F.lit(v)) for t, v in meta.idfs.items()))
 
-    # --- job 1: θ bootstrap for every query at once (union of the
-    # terms' best blocks, per-query kth best)
-    best_pred = _best_block_pred(meta.best)
+    # --- job 1: θ bootstrap for every query at once — the union of
+    # every term's top-`impact_bootstrap_depth` impact blocks, scored
+    # per query (see _bootstrap_theta_eff_prefix for why depth > 1
+    # tightens θ and roughly halves the decode fraction)
+    best_pred = (F.col("term").isin(live)
+                 & (F.col("block_id") < cfg.bm25.impact_bootstrap_depth))
     boot = filter_dead_postings(
         decode_postings(index["postings"].filter(best_pred)),
         index.get("tombstones"), index.get("_n_tombstones", 0))

@@ -392,8 +392,10 @@ def _bootstrap_theta_eff_prefix(
     with fuller cross-term partial sums, so the k-th score — still a
     valid lower bound on the true k-th — is tighter and the planner
     skips more (measured 0.55 → 0.32 decode fraction at depth 4,
-    config.py). Decode volume is depth × salts × groups blocks per
-    term: constant in corpus size."""
+    config.py). Decode volume is depth × salts × GROUPS blocks per
+    term — constant in corpus size but linear in segment count, so a
+    many-segment index should be compacted (compaction_due already
+    flags group sprawl) before the bootstrap cost matters."""
     if not idfs:
         return None
     pred = (F.col("term").isin(list(idfs))

@@ -34,12 +34,14 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from semcode_spark.config import BM25Config, EngineConfig, IndexConfig
 from semcode_spark.operators.index_build import build_index, read_index
-from semcode_spark.operators.query import phrase_match, wand_topk
+from semcode_spark.operators.query import (
+    phrase_match, wand_topk, wand_topk_impact)
 
 import os as _os
 docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
 cfg = EngineConfig(bm25=BM25Config(), index=IndexConfig(
-    term_buckets=8, block_size=16, store_positions=True))
+    term_buckets=8, block_size=16, store_positions=True,
+    impact_ordered=True))
 d = tempfile.mkdtemp(prefix="lc_idx_")
 out = build_index(spark, docs, d, cfg=cfg, groups=2)
 idx = read_index(spark, d)
@@ -48,8 +50,12 @@ hits = [(r["doc_id"], round(r["score"], 4))
                            cfg=cfg, prune=True).collect()]
 phrase = sorted(r["doc_id"] for r in
                 phrase_match(spark, idx, "table scan").collect())
+imp = [(r["doc_id"], round(r["score"], 4))
+       for r in wand_topk_impact(spark, idx, "spark query data", k=5,
+                                 cfg=cfg).collect()]
 print(json.dumps({"n_docs": out["n_docs"], "hits": hits,
-                  "n_phrase": len(phrase), "phrase_head": phrase[:3]}))
+                  "n_phrase": len(phrase), "phrase_head": phrase[:3],
+                  "impact_hits": imp}))
 spark.stop()
 """
 
@@ -68,3 +74,6 @@ def test_build_and_query_across_executors():
     assert out["hits"][0] == [340, 1.22] and out["hits"][1] == [356, 1.2], out
     assert len(out["hits"]) == 5
     assert out["n_phrase"] > 0 and out["phrase_head"][0] == 0
+    # impact retrieval (ids-only decode + forward completion across
+    # executor JVMs) must match the pruned/flat answers exactly
+    assert out["impact_hits"] == out["hits"], out

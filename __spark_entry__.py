@@ -243,12 +243,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["forward_postings"] = q_forward
 
     def q_and(spark, sf):
-        tf = term_doc_tf(load_table(spark, sf, "documents"))
-        return (tf.filter(F.col("term").isin(*AND_TERMS))
-                .groupBy("doc_id")
-                .agg(F.countDistinct("term").alias("nt"))
-                .filter(F.col("nt") == len(AND_TERMS))
-                .select("doc_id"))
+        # r6 (guide §2.4): membership of every term is a narrow
+        # array_contains over the materialized token array — same doc
+        # set as the old explode → groupBy → countDistinct plan, with
+        # zero shuffles instead of two
+        from semcode_spark.functions.tokenize import tokens_col
+        from semcode_spark.sources.tables import spread
+        docs = load_table(spark, sf, "documents")
+        base = spread(docs).select("doc_id", tokens_col("text").alias("_toks"))
+        cond = None
+        for t in AND_TERMS:
+            c = F.array_contains("_toks", t)
+            cond = c if cond is None else (cond & c)
+        return base.filter(cond).select("doc_id")
     q["conjunctive_and"] = q_and
 
     def q_phrase(spark, sf):
@@ -393,6 +400,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q1_pricing_summary"] = q_q1
 
     def q_q3(spark, sf):
+        # r6: measured and deliberately left in the r5 shape — the plan
+        # is already broadcast-optimal at bench scale (orders and the
+        # BUILDING customers both broadcast, lineitem streamed through
+        # two BroadcastHashJoins, ONE exchange of map-side partial
+        # aggs; plans/r06/q3_topk_revenue_before.txt). A pre-aggregate-
+        # lineitem variant was tried and measured even (1.79 vs 1.87 s
+        # at sf1.0): it traded the partial-agg exchange for a 1.5M-row
+        # broadcast of the aggregated fact — no win, more memory.
         c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
         o = load_table(spark, sf, "orders")
         li = load_table(spark, sf, "lineitem")

@@ -40,11 +40,15 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def varint_decode(buf: bytes) -> np.ndarray:
-    """Inverse of varint_encode → uint64 array (vectorized via reduceat)."""
-    if not buf:
+def varint_decode(buf) -> np.ndarray:
+    """Inverse of varint_encode → uint64 array (vectorized via
+    reduceat). Accepts bytes or a uint8 ndarray (r6: the batch decode
+    kernels pass the Arrow data buffer directly, zero-copy)."""
+    arr = (np.frombuffer(buf, dtype=np.uint8)
+           if isinstance(buf, (bytes, bytearray, memoryview))
+           else np.asarray(buf, dtype=np.uint8))
+    if arr.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    arr = np.frombuffer(buf, dtype=np.uint8)
     ends = np.nonzero((arr & 0x80) == 0)[0]
     starts = np.empty(ends.shape, dtype=np.int64)
     starts[0] = 0

@@ -34,33 +34,39 @@ def exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """(doc_id, fp, group_size, is_dup): is_dup marks every doc that is
     not the smallest doc_id of its fingerprint group (the canonical
     keep-first policy)."""
+    from pyspark.sql.window import Window
+
+    # r6: whole-partition window aggregates — ONE shuffle by fp instead
+    # of the groupBy + self-join (two exchanges of the fingerprint
+    # relation) for the identical rows
+    w = Window.partitionBy("fp")
     fp = fingerprint(docs, text_col, id_col)
-    grp = fp.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        F.min("doc_id").alias("keep_id"),
-    )
-    return (
-        fp.join(grp, "fp")
-        .select(
-            "doc_id", "fp", "group_size",
-            (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
-        )
+    return fp.select(
+        "doc_id", "fp",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
     )
 
 
 # ----------------------------------------------------------- shingles ------
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams. Built with a JVM
-    transform over token positions (no Python, no window shuffle).
+def shingle_arrays(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shl array<string>) — the distinct word n-grams of each
+    doc as ONE array row (the un-exploded form of ``shingles``). Built
+    with a JVM transform over token positions (no Python, no shuffle).
 
     The token array is materialized as a projection FIRST: referencing
     the tokenize expression inside the transform lambda re-evaluates
     the full lower+regex-split once PER ARRAY ELEMENT (higher-order
     functions are interpreted, no common-subexpression elimination
     across lambda invocations — measured 3.6× slower at sf0.1)."""
-    tok_df = docs.select(
+    from semcode_spark.sources.tables import spread
+
+    # spread first (r6): the whole shingle/hash chain is narrow
+    # interpreted compute — a single-split input would run it on one
+    # core (guide §2.5; no-op when the scan is already parallel)
+    tok_df = spread(docs).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     sh = F.transform(
@@ -73,9 +79,15 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     # drop it: a full regex pass over the shingle relation for a
     # handful of short docs)
     return tok_df.filter(F.size(toks) >= n).select(
-        "doc_id",
-        F.explode(F.array_distinct(sh)).alias("shingle"),
-    )
+        "doc_id", F.array_distinct(sh).alias("shl"))
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, exploded (the posting
+    shape the Jaccard inverted-index candidate generator needs)."""
+    return shingle_arrays(docs, n, text_col, id_col).select(
+        "doc_id", F.explode("shl").alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -112,9 +124,9 @@ def ngram_jaccard_pairs(
 
 def _minhash_cols(sh: DataFrame, n_perm: int) -> DataFrame:
     """(doc_id, m0..m{n_perm-1}) — MinHash as ONE hash aggregate with
-    n_perm min buffers: shuffle rows = the shingle relation itself, not
-    shingles × n_perm (an earlier explode-per-permutation shape shuffled
-    16× the volume for identical results).
+    n_perm min buffers over the EXPLODED shingle relation. Kept for
+    callers that already hold the posting shape; the zero-shuffle array
+    form (`_minhash_cols_from_arrays`) is the serving path (r6).
 
     Carter-Wegman permutations over ONE md5 per shingle: the digest's
     nibbles 1-15 give h1 (60 bits) and 16-29 give h2 (taken mod 2^55);
@@ -134,12 +146,45 @@ def _minhash_cols(sh: DataFrame, n_perm: int) -> DataFrame:
     ])
 
 
+def _minhash_cols_from_arrays(arrs: DataFrame, n_perm: int) -> DataFrame:
+    """(doc_id, m0..m{n_perm-1}) from (doc_id, shl array) — the r6
+    zero-shuffle MinHash: one md5 per shingle evaluated in a
+    materialized projection, then n_perm array_min passes over the
+    per-doc (h1, h2) structs. Bit-identical to ``_minhash_cols``
+    (same Carter-Wegman family, same md5 nibbles) but entirely narrow:
+    the old shape shuffled the whole exploded shingle relation into a
+    groupBy(doc_id) hash aggregate; this one never leaves the row
+    (guide §2.4 "remove shuffles outright"). Projection boundaries
+    between md5 → (h1, h2) → mins are deliberate: CollapseProject
+    refuses to inline an expensive producer referenced more than once,
+    so the md5 runs once per shingle, not once per permutation."""
+    hx = arrs.select(
+        "doc_id",
+        F.transform(F.col("shl"), lambda s: F.md5(s)).alias("_hx"))
+    hh = hx.select(
+        "doc_id",
+        F.transform(F.col("_hx"), lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            (F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
+             % F.lit(1 << 55)).alias("h2"))).alias("_hh"))
+    def _perm(p: int):
+        # closure factory, NOT a defaulted 2-arg lambda: a two-argument
+        # transform lambda receives (element, index) and would shadow p
+        return lambda x: x["h1"] + p * x["h2"]
+
+    return hh.select("doc_id", *[
+        F.array_min(F.transform(F.col("_hh"), _perm(p))).alias(f"m{p}")
+        for p in range(n_perm)
+    ])
+
+
 def minhash_signature(
     docs: DataFrame, n_perm: int = 16, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_perm]) — MinHash over word shingles."""
-    mh = _minhash_cols(shingles(docs, n, text_col, id_col), n_perm)
+    mh = _minhash_cols_from_arrays(
+        shingle_arrays(docs, n, text_col, id_col), n_perm)
     return mh.select(
         "doc_id", F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig")
     )
@@ -167,9 +212,43 @@ def minhash_lsh_pairs(
     cluster an executor loss makes it unrecoverable, so eager is
     opt-in, never the default."""
     rows_per_band = n_perm // bands
-    # the shingle relation feeds minhashing AND the verify stage — cache it
-    sh_cached = shingles(docs, n, text_col, id_col).persist()
-    mh = _minhash_cols(sh_cached, n_perm)
+    # r6 shape (guide §2.3/§2.4): everything is derived from ONE cached
+    # per-doc relation (doc_id, n_sh, hh, h1s) — shingle strings are
+    # built and md5'd exactly once while the cache materializes, the
+    # minhash mins are zero-shuffle array passes over the cached
+    # structs, and candidate verification intersects the 60-bit hash
+    # arrays. The r5 shape shuffled the exploded shingle-string
+    # relation three times (minhash groupBy, sizes groupBy, and a
+    # candidates×shingles explode-join) and re-built/re-hashed shingle
+    # strings per consumer.
+    #
+    # Hash-based |A∩B|: h1 is the same 60-bit md5 prefix the minhash
+    # permutations use; distinct shingle strings map to distinct h1s
+    # unless md5 collides within one pair's ~2·|A| shingle union —
+    # P ≈ |A∪B|²/2^61 ≈ 2e-14 per pair, orders of magnitude below the
+    # float-rounding tolerance the engine already relies on vs the
+    # oracle. |A| / |B| use the exact shingle-array sizes.
+    sh_hh = shingle_arrays(docs, n, text_col, id_col).select(
+        "doc_id",
+        F.transform(F.col("shl"), lambda s: F.md5(s)).alias("_hx"),
+        F.size(F.col("shl")).alias("n_sh"))
+    arrs = sh_hh.select(
+        "doc_id", "n_sh",
+        F.transform(F.col("_hx"), lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            (F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
+             % F.lit(1 << 55)).alias("h2"))).alias("_hh"))
+    arrs = arrs.select(
+        "doc_id", "n_sh", "_hh",
+        F.transform(F.col("_hh"), lambda x: x["h1"]).alias("_h1s")).persist()
+
+    def _perm(p: int):
+        return lambda x: x["h1"] + p * x["h2"]
+
+    mh = arrs.select("doc_id", *[
+        F.array_min(F.transform(F.col("_hh"), _perm(p))).alias(f"m{p}")
+        for p in range(n_perm)
+    ])
     # band keys row-wise from the signature columns (no second shuffle:
     # the per-(doc, band) collect_list agg an earlier shape used is pure
     # overhead once the signature is columnar)
@@ -192,21 +271,21 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify ONLY the LSH candidates (never the full shingle-sharing
-    # pair space — that degenerates to ~n² when the vocabulary is small)
-    sh = sh_cached
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("bb"), F.col("shingle").alias("sh_b"))
-    with_a = cand.join(sha, "a")
-    inter = (
-        with_a.join(shb, (with_a["b"] == shb["bb"]) & (with_a["sh_a"] == shb["sh_b"]))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    # pair space — that degenerates to ~n² when the vocabulary is
+    # small). |A∩B| via array_intersect on the cached h1 arrays (see
+    # header comment), |A∪B| = |A|+|B|−|∩| — the only rows shuffled are
+    # the candidate pairs themselves plus the two hash arrays they
+    # touch.
+    sha = arrs.select(F.col("doc_id").alias("a"),
+                      F.col("_h1s").alias("h_a"), F.col("n_sh").alias("na"))
+    shb = arrs.select(F.col("doc_id").alias("b"),
+                      F.col("_h1s").alias("h_b"), F.col("n_sh").alias("nb"))
     result = (
-        inter.join(sa, "a").join(sb, "b")
+        cand.join(sha, "a").join(shb, "b")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("h_a", "h_b")).alias("inter"),
+            "na", "nb")
         .withColumn("jaccard", fround(
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
@@ -214,9 +293,9 @@ def minhash_lsh_pairs(
     )
     if eager:
         # materialize the result (near-dup pairs: tiny vs the shingle
-        # relation), cut its lineage, then release the shingle cache NOW
+        # relation), cut its lineage, then release the array cache NOW
         result = result.localCheckpoint(eager=True)
-        sh_cached.unpersist()
+        arrs.unpersist()
     return result
 
 
@@ -234,25 +313,31 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
     per-doc vote partials, never the token rows. (r2 note still holds:
     an explode-per-bit shape shuffles 32× this volume; and r1's
     two-shuffle tf form is what this replaces.)"""
-    toks = docs.select(
+    from semcode_spark.sources.tables import spread
+
+    toks = spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
     )
     h = toks.withColumn("h", md5_long_col(F.col("term")))
-    votes = h.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ])
+    # r6: branchless vote buffers — sum the raw bit (0/1) instead of a
+    # CASE WHEN ±1 per token per bit, plus one shared token counter:
+    # v_b = 2·ones_b − cnt, so the sign test v_b > 0 is exactly
+    # 2·ones_b > cnt. Same aggregate shape (one hash agg, map-side
+    # combine), ~bits× fewer branch expressions per token row.
+    votes = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}")
+          for b in range(bits)]
+    )
     # shift via SQL expr, not F.lit(1 << b): a Python literal 1<<63
     # exceeds LongType range (bits=64 is the standard simhash width)
+    cnt = F.col("_cnt")
     sim = reduce(
         lambda acc, b: acc + F.when(
-            F.col(f"v{b}") > 0, F.expr(f"cast(1 as bigint) << {b}")
+            2 * F.col(f"o{b}") > cnt, F.expr(f"cast(1 as bigint) << {b}")
         ).otherwise(F.lit(0).cast("long")),
         range(1, bits),
-        F.when(F.col("v0") > 0, F.lit(1).cast("long"))
+        F.when(2 * F.col("o0") > cnt, F.lit(1).cast("long"))
         .otherwise(F.lit(0).cast("long")),
     )
     return votes.select("doc_id", sim.alias("simhash"))

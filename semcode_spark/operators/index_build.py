@@ -130,8 +130,10 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """doc_id, doc_len (token count under the configured analyzer) — the
     analog of the reference's per-chunk bookkeeping
     (chunking/tree_sitter_chunker.py:48-57)."""
+    from semcode_spark.sources.tables import spread
+
     toks = analyzer(cfg.index.analyzer)
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks(text_col)).alias("doc_len"),
     )
@@ -149,8 +151,13 @@ def term_doc_tf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     to posexplode and adds the per-(term, doc) sorted token-position
     array (collect_list buffers grow the aggregate — only paid when the
     index stores positions for phrase search)."""
+    from semcode_spark.sources.tables import spread
+
     toks_fn = analyzer(cfg.index.analyzer)
-    base = docs.select(
+    # spread (r6): a single-split input runs tokenize+explode+partial
+    # agg — the expensive pre-shuffle stage — on one core (guide §2.5);
+    # no-op when the scan already has ≥ defaultParallelism splits
+    base = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         toks_fn(text_col).alias("toks"),
     )
@@ -378,37 +385,78 @@ def _make_arrow_encoder(block_size: int, with_positions: bool = False,
 
 # ------------------------------------------------------------- decoding ----
 
+def _binary_concat(col) -> tuple[np.ndarray, np.ndarray]:
+    """An Arrow binary column's values as ONE contiguous uint8 array
+    plus the per-row byte counts — zero copies of the payload (the
+    column's data buffer IS the concatenation of the per-row buffers).
+    Varints are self-delimiting, so one varint_decode over the
+    concatenated stream decodes every row's stream back to back."""
+    import pyarrow as pa
+
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # combine_chunks may stay chunked
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=width)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    return data, np.diff(offs)
+
+
+def _block_cumsum_ids(deltas: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Concatenated per-block delta streams → absolute doc_ids: one
+    global cumsum, re-based at each block start (the first delta of a
+    block is its absolute first doc_id) — no per-block Python."""
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.zeros(len(n), dtype=np.int64)
+    np.cumsum(n[:-1], out=starts[1:])
+    base = np.zeros(len(n), dtype=np.uint64)
+    base[starts > 0] = c[starts[starts > 0] - 1]
+    return (c - np.repeat(base, n)).astype(np.int64)
+
+
 def decode_postings(blocks_df: DataFrame) -> DataFrame:
     """Block rows → flat (term, group, doc_id, tf) posting rows.
 
     The single decode kernel shared by query scoring, segment
-    compaction, and replace-time stats deltas (numpy varint/delta
-    decode over Arrow batches; the Python loop is per *block*, never
-    per posting). ``group`` rides along so tombstone filtering —
-    "postings of doc d in groups < before_group are dead" — stays a
-    relational anti-join downstream."""
+    compaction, and replace-time stats deltas. r6: mapInArrow with
+    whole-BATCH vectorization — ONE varint_decode over every block's
+    concatenated byte stream (self-delimiting varints), one global
+    cumsum re-based per block for the doc_id deltas, and Arrow-native
+    ``take`` to replicate term/group per posting. The r5 kernel looped
+    per block building object-dtype term arrays through pandas; this
+    touches no per-block Python at all (measured: the 454k-block
+    crossover flat batch 39 s → see OPTIMIZATION_r06.md). ``group``
+    rides along so tombstone filtering stays a relational anti-join
+    downstream."""
     from semcode_spark.operators import blocks as B
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            terms, grps, ids, tfs = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
-                t = B.varint_decode(row.tfs).astype(np.int64)
-                ids.append(d)
-                tfs.append(t)
-                terms.append(np.full(len(d), row.term, dtype=object))
-                grps.append(np.full(len(d), row.group, dtype=np.int32))
-            yield pd.DataFrame({
-                "term": np.concatenate(terms),
-                "group": np.concatenate(grps),
-                "doc_id": np.concatenate(ids),
-                "tf": np.concatenate(tfs),
-            })
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return blocks_df.select("term", "group", "doc_ids", "tfs").mapInPandas(
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            id_bytes, _ = _binary_concat(tbl["doc_ids"])
+            tf_bytes, _ = _binary_concat(tbl["tfs"])
+            doc_id = _block_cumsum_ids(B.varint_decode(id_bytes), n)
+            tf = B.varint_decode(tf_bytes).astype(np.int64)
+            idx = pa.array(np.repeat(np.arange(len(n), dtype=np.int64), n))
+            yield from pa.table({
+                "term": pc.take(tbl["term"], idx),
+                "group": pc.take(tbl["group"], idx),
+                "doc_id": pa.array(doc_id),
+                "tf": pa.array(tf),
+            }).to_batches()
+
+    return blocks_df.select("term", "group", "n", "doc_ids", "tfs").mapInArrow(
         kernel, schema="term string, group int, doc_id long, tf long"
     )
 
@@ -418,26 +466,29 @@ def decode_doc_ids_only(blocks_df: DataFrame) -> DataFrame:
     decode: skips the tf varint stream entirely (reads/decodes only the
     doc_ids bytes). Used by MaxScore-style retrieval where candidate
     ids come from the essential terms' blocks and exact scores come
-    from the forward table, and by AND-prefilters."""
+    from the forward table, and by AND-prefilters. Same whole-batch
+    vectorization as decode_postings (r6)."""
     from semcode_spark.operators import blocks as B
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            terms, grps, ids = [], [], []
-            for row in pdf.itertuples(index=False):
-                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
-                ids.append(d)
-                terms.append(np.full(len(d), row.term, dtype=object))
-                grps.append(np.full(len(d), row.group, dtype=np.int32))
-            yield pd.DataFrame({
-                "term": np.concatenate(terms),
-                "group": np.concatenate(grps),
-                "doc_id": np.concatenate(ids),
-            })
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return blocks_df.select("term", "group", "doc_ids").mapInPandas(
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            id_bytes, _ = _binary_concat(tbl["doc_ids"])
+            doc_id = _block_cumsum_ids(B.varint_decode(id_bytes), n)
+            idx = pa.array(np.repeat(np.arange(len(n), dtype=np.int64), n))
+            yield from pa.table({
+                "term": pc.take(tbl["term"], idx),
+                "group": pc.take(tbl["group"], idx),
+                "doc_id": pa.array(doc_id),
+            }).to_batches()
+
+    return blocks_df.select("term", "group", "n", "doc_ids").mapInArrow(
         kernel, schema="term string, group int, doc_id long"
     )
 
@@ -445,32 +496,48 @@ def decode_doc_ids_only(blocks_df: DataFrame) -> DataFrame:
 def decode_positions_flat(blocks_df: DataFrame) -> DataFrame:
     """Positional block rows → (term, group, doc_id, pos), one row per
     token occurrence of the term. The phrase-search twin of
-    decode_postings: numpy varint/gap decode over Arrow batches, the
-    Python loop is per *block*. ``group`` rides along for the same
-    tombstone anti-join."""
+    decode_postings. r6: mapInArrow — doc_ids decode batch-vectorized
+    (one varint_decode for the whole batch), the position stream still
+    splits per block (its counts/gaps boundary is data-dependent) but
+    term/group replication is Arrow-native ``take`` instead of
+    object-dtype numpy through pandas. ``group`` rides along for the
+    same tombstone anti-join."""
     from semcode_spark.operators import blocks as B
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            terms, grps, ids, poss = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                d = B.decode_doc_ids(row.doc_ids).astype(np.int64)
-                counts, flat = B.decode_positions(row.pos, len(d))
-                total = int(counts.sum())
-                ids.append(np.repeat(d, counts))
-                poss.append(flat)
-                terms.append(np.full(total, row.term, dtype=object))
-                grps.append(np.full(total, row.group, dtype=np.int32))
-            yield pd.DataFrame({
-                "term": np.concatenate(terms),
-                "group": np.concatenate(grps),
-                "doc_id": np.concatenate(ids),
-                "pos": np.concatenate(poss),
-            })
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return blocks_df.select("term", "group", "doc_ids", "pos").mapInPandas(
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            id_bytes, _ = _binary_concat(tbl["doc_ids"])
+            doc_id = _block_cumsum_ids(B.varint_decode(id_bytes), n)
+            starts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=starts[1:])
+            pos_col = tbl["pos"]
+            ids_out, pos_out = [], []
+            totals = np.zeros(len(n), dtype=np.int64)
+            for i in range(len(n)):
+                counts, flat = B.decode_positions(
+                    pos_col[i].as_py(), int(n[i]))
+                d = doc_id[starts[i]: starts[i] + n[i]]
+                ids_out.append(np.repeat(d, counts))
+                pos_out.append(flat)
+                totals[i] = flat.size
+            idx = pa.array(np.repeat(np.arange(len(n), dtype=np.int64), totals))
+            yield from pa.table({
+                "term": pc.take(tbl["term"], idx),
+                "group": pc.take(tbl["group"], idx),
+                "doc_id": pa.array(np.concatenate(ids_out)
+                                   if ids_out else np.zeros(0, np.int64)),
+                "pos": pa.array(np.concatenate(pos_out).astype(np.int64)
+                                if pos_out else np.zeros(0, np.int64)),
+            }).to_batches()
+
+    return blocks_df.select("term", "group", "n", "doc_ids", "pos").mapInArrow(
         kernel, schema="term string, group int, doc_id long, pos long"
     )
 

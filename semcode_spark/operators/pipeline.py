@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from semcode_spark.functions.hashing import md5_long_col
 from semcode_spark.functions.tokenize import tokens_col
+from semcode_spark.sources.tables import spread
 
 # Java-regex ∩ RE2 compatible patterns (character classes only)
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -37,6 +38,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     """(doc_id, clean, n_urls, n_emails, n_nums): text with URLs, then
     emails, then ≥6-digit runs masked; per-doc match counts. Masking
     order matters (emails inside URLs must count as URL)."""
+    docs = spread(docs)  # regex-heavy narrow chain: run on all cores (r6)
     t = F.col(text_col)
     n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
     after_url = F.regexp_replace(t, URL_RE, "<URL>")
@@ -80,7 +82,7 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     packing parallelizes across shards (one global orderBy would
     serialize 10^12 rows through one partition). Deterministic: same
     bins on any cluster."""
-    sized = docs.select(
+    sized = spread(docs).select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(text_col)).alias("n_tokens"),

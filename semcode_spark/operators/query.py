@@ -78,30 +78,58 @@ def bm25_scores(
     oracle comparison and as the reference result for WAND tests.
     Corpus stats stay IN the plan (broadcast 1-row aggregate) instead
     of a driver-side collect — the whole query is one Spark job.
-    """
-    spark = docs.sparkSession
+
+    r6 shape (guide §2.4): per-doc query-term tf is computed NARROWLY
+    (size(filter(tokens, == t)) per query term over the materialized
+    token array) instead of exploding the whole corpus into the
+    (term, doc_id) aggregate and post-filtering it — the old plan
+    shuffled every distinct (term, doc) pair of the corpus twice (tf
+    agg feeding both the df agg and the score join) to use a handful
+    of terms. Now the only non-narrow work is the 1-row stats/df
+    aggregate and the final per-doc score projection; per-term df rides
+    in the same 1-row broadcast. Scores are the same per-term sums
+    (absent terms contribute an exact +0.0), rank order unchanged."""
+    from functools import reduce as _reduce
+
     toks = analyzer(cfg.index.analyzer)
     k1, b = cfg.bm25.k1, cfg.bm25.b
-    tf = term_doc_tf(docs, id_col, text_col, cfg)
-    stats = docs.select(F.size(toks(F.col(text_col))).alias("dl")).agg(
+    terms = sorted(set(query_terms))
+
+    def _eq(term: str):
+        # closure factory, NOT a defaulted 2-arg lambda: F.filter gives
+        # a two-argument lambda (element, index) — a `t=t` default
+        # would be shadowed by the index column
+        return lambda x: x == F.lit(term)
+
+    from semcode_spark.sources.tables import spread
+
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"), toks(F.col(text_col)).alias("_toks"))
+    arr = F.col("_toks")
+    proj = base.select(
+        "doc_id", F.size(arr).alias("dl"),
+        *[F.size(F.filter(arr, _eq(t))).alias(f"_tf{i}")
+          for i, t in enumerate(terms)])
+    stats = proj.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg("dl").alias("_avgdl"),
-    )
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+          for i in range(len(terms))])
+    cand = proj.filter(_reduce(
+        lambda a, c: a | c, [F.col(f"_tf{i}") > 0 for i in range(len(terms))]))
+    matched = cand.join(F.broadcast(stats))  # 1-row corpus stats, no collect
 
-    qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
-    tstats = tf.join(F.broadcast(qt), "term").groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    idf = F.log((F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    w = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.col("_avgdl"))
-    )
-    matched = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(tstats), "term")
-        .join(F.broadcast(stats))  # 1-row corpus stats, no collect
-    )
-    return matched.groupBy("doc_id").agg(F.sum(idf * w).alias("score"))
+    def contrib(i: int):
+        tf = F.col(f"_tf{i}")
+        idf = F.log((F.col("_n_docs") - F.col(f"_df{i}") + 0.5)
+                    / (F.col(f"_df{i}") + 0.5) + 1.0)
+        w = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+        return F.when(tf > 0, idf * w).otherwise(F.lit(0.0))
+
+    score = _reduce(lambda a, c: a + c,
+                    [contrib(i) for i in range(len(terms))])
+    return matched.select("doc_id", score.alias("score"))
 
 
 def bm25_topk(
@@ -276,9 +304,15 @@ def wand_topk(
         # decode volume itself dominates the job floor and auto
         # switches to impact retrieval — the bounded-decode path —
         # provided the index carries the forward table it completes
-        # from. prune=True (static filter) stays available explicitly.
+        # from AND the impact-ordered layout (r6, advice: on a
+        # doc_id-ordered index the block_id<depth bootstrap reads
+        # arbitrary low-doc_id blocks, so θ_eff is weak and the
+        # "bounded" path can degrade toward full decode + forward
+        # overhead at exactly the scale the switch targets).
+        # prune=True (static filter) stays available explicitly.
         if (n_blocks > cfg.bm25.impact_auto_min_blocks
-                and index.get("forward") is not None):
+                and index.get("forward") is not None
+                and index.get("impact_layout")):
             prune = "impact"
         else:
             prune = False
@@ -378,6 +412,35 @@ def _bootstrap_theta_eff(
     return theta_rows[-1]["score"] - _theta_slack(cfg)
 
 
+def _forward_exact_scores(
+    index: dict,
+    idfs: dict[str, float],
+    avgdl: float,
+    cand_ids: DataFrame | None,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """(doc_id, score): EXACT BM25 over the live query terms from the
+    forward table, optionally restricted to ``cand_ids`` (pass a
+    broadcast-hinted ids frame). Shared by the θ bootstrap and the
+    completion stage of impact retrieval."""
+    from semcode_spark.operators.index_build import live_forward
+
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    fwd = live_forward(index).filter(F.col("term").isin(sorted(idfs)))
+    if cand_ids is not None:
+        fwd = fwd.join(cand_ids, "doc_id")
+    idf_map = F.create_map(*chain.from_iterable(
+        (F.lit(t), F.lit(v)) for t, v in idfs.items()))
+    w_expr = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+    return (
+        fwd.withColumn("idf", idf_map[F.col("term")])
+        .join(index["docs"], "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * w_expr).alias("score"))
+    )
+
+
 def _bootstrap_theta_eff_prefix(
     spark: SparkSession,
     index: dict,
@@ -385,25 +448,37 @@ def _bootstrap_theta_eff_prefix(
     k: int,
     cfg: EngineConfig,
 ) -> float | None:
-    """Impact-mode θ bootstrap: score the docs of every query term's
+    """Impact-mode θ bootstrap: take the docs of every query term's
     top-``impact_bootstrap_depth`` blocks (all salts/groups — in the
-    impact layout those hold the terms' highest-weight postings).
-    Deeper than the single-best-block bootstrap: more docs are seen
-    with fuller cross-term partial sums, so the k-th score — still a
-    valid lower bound on the true k-th — is tighter and the planner
-    skips more (measured 0.55 → 0.32 decode fraction at depth 4,
-    config.py). Decode volume is depth × salts × GROUPS blocks per
-    term — constant in corpus size but linear in segment count, so a
-    many-segment index should be compacted (compaction_due already
-    flags group sprawl) before the bootstrap cost matters."""
+    impact layout those hold the terms' highest-weight postings) and
+    score them EXACTLY from the forward table (r6). The k-th exact
+    score of ANY doc subset lower-bounds the global k-th, so θ stays
+    prune-safe — but exact completion is strictly tighter than the r5
+    partial sums over the bootstrap blocks alone, which badly
+    underestimated all-common-term (stopword) queries: every candidate
+    carried only the prefix-block fraction of its true score, so θ_eff
+    sat far below the real k-th cut and the planner decoded 0.45-0.63
+    of the candidate blocks (r5 verdict "what's wrong" #2). Bootstrap
+    ids are structurally bounded (depth × salts × groups × block_size
+    per term — constant in corpus size), so the ids join is a
+    broadcast. Falls back to partial-sum scoring when the index has no
+    forward table (the impact path proper requires one; static-pruned
+    callers may not)."""
     if not idfs:
         return None
     pred = (F.col("term").isin(list(idfs))
             & (F.col("block_id") < cfg.bm25.impact_bootstrap_depth))
     avgdl = float(index["_corpus_row"]["avgdl"])
+    boot_blocks = index["postings"].filter(pred)
+    if index.get("forward") is not None:
+        ids = (decode_doc_ids_only(boot_blocks)
+               .select("doc_id").distinct())
+        scored = _forward_exact_scores(
+            index, idfs, avgdl, F.broadcast(ids), cfg)
+    else:
+        scored = _score_blocks(boot_blocks, idfs, avgdl, index, cfg)
     rows = (
-        _score_blocks(index["postings"].filter(pred), idfs, avgdl,
-                      index, cfg)
+        scored
         .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
                  F.col("doc_id").asc())
         .limit(k)
@@ -609,30 +684,17 @@ def wand_topk_impact(
     # approaches the corpus (low-θ / stopword-heavy regimes at small
     # scale), the join is a pure extra shuffle and is skipped
     # (measured: 48→~5 s on the 24-query crossover batch).
-    from semcode_spark.operators.index_build import live_forward
-    fwd = live_forward(index).filter(F.col("term").isin(live))
     cand_worthwhile = ids_ub <= max(cfg.index.broadcast_ids_max,
                                     int(n_docs) // 4)
     if stats is not None:
         stats["cand_join"] = bool(cand_worthwhile)
+    cand_ids = None
     if cand_worthwhile:
-        cand_ids = decode_doc_ids_only(cand_blocks) \
-            .select("doc_id").distinct()
-        bcast = ids_ub <= cfg.index.broadcast_ids_max
-        matched = fwd.join(
-            F.broadcast(cand_ids) if bcast else cand_ids, "doc_id")
-    else:
-        matched = fwd
-    k1, b = cfg.bm25.k1, cfg.bm25.b
-    idf_map = F.create_map(*chain.from_iterable(
-        (F.lit(t), F.lit(v)) for t, v in meta.idfs.items()))
-    w_expr = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+        ci = decode_doc_ids_only(cand_blocks).select("doc_id").distinct()
+        cand_ids = F.broadcast(ci) \
+            if ids_ub <= cfg.index.broadcast_ids_max else ci
     rows = (
-        matched.withColumn("idf", idf_map[F.col("term")])
-        .join(index["docs"], "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("idf") * w_expr).alias("score"))
+        _forward_exact_scores(index, meta.idfs, avgdl, cand_ids, cfg)
         .orderBy(F.round("score", cfg.bm25.rank_decimals).desc(),
                  F.col("doc_id").asc())
         .limit(k)
@@ -918,6 +980,12 @@ def phrase_topk_batch(
         index["_corpus_row"] = index["corpus"].collect()[0]
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
+
+    # duplicate query_ids would merge both phrases' slot rows under one
+    # id and silently corrupt the ns == n_slots containment join (r6,
+    # advice) — reject up front
+    if len({qid for qid, _, _ in queries}) != len(queries):
+        raise ValueError("duplicate query_id in phrase batch")
 
     slot_rows: list[tuple[int, str, int]] = []
     meta_rows: list[tuple[int, int, int]] = []  # (qid, n_slots, k)
@@ -1255,9 +1323,11 @@ def bm25_topk_batch(
         # the term; 100% survivors at 45k/91k blocks). Past
         # impact_auto_min_blocks the batch switches to impact retrieval
         # (r5) — three jobs for the whole set, decode bounded by the
-        # merged per-query plans — when the forward table exists.
+        # merged per-query plans — when the forward table exists and
+        # the layout is impact-ordered (r6, advice: see wand_topk).
         if (meta.n_blocks > cfg.bm25.impact_auto_min_blocks
-                and index.get("forward") is not None):
+                and index.get("forward") is not None
+                and index.get("impact_layout")):
             return _bm25_topk_batch_impact(
                 spark, index, q_terms, qterms, ks, meta,
                 n_docs, avgdl, cfg)
@@ -1387,14 +1457,21 @@ def _bm25_topk_batch_impact(
         (F.lit(t), F.lit(v)) for t, v in meta.idfs.items()))
 
     # --- job 1: θ bootstrap for every query at once — the union of
-    # every term's top-`impact_bootstrap_depth` impact blocks, scored
-    # per query (see _bootstrap_theta_eff_prefix for why depth > 1
-    # tightens θ and roughly halves the decode fraction)
+    # every term's top-`impact_bootstrap_depth` impact blocks gives the
+    # candidate ids, which are then scored EXACTLY from the forward
+    # table per query (r6; see _bootstrap_theta_eff_prefix: the k-th
+    # exact score of a doc subset still lower-bounds the global k-th,
+    # and exact completion is far tighter than the r5 partial sums for
+    # all-common-term queries — their θ sat so low the planner decoded
+    # half the candidate blocks)
+    from semcode_spark.operators.index_build import live_forward
+
     best_pred = (F.col("term").isin(live)
                  & (F.col("block_id") < cfg.bm25.impact_bootstrap_depth))
-    boot = filter_dead_postings(
-        decode_postings(index["postings"].filter(best_pred)),
-        index.get("tombstones"), index.get("_n_tombstones", 0))
+    boot_ids = (decode_doc_ids_only(index["postings"].filter(best_pred))
+                .select("doc_id").distinct())
+    boot = (live_forward(index).filter(F.col("term").isin(live))
+            .join(F.broadcast(boot_ids), "doc_id"))
     win_b = Window.partitionBy("query_id").orderBy(
         F.round("score", cfg.bm25.rank_decimals).desc(),
         F.col("doc_id").asc())
@@ -1472,7 +1549,6 @@ def _bm25_topk_batch_impact(
             index["postings"].filter(F.col("term").isin(live)).count())
     ids_ub = sum(meta.dfs[t] for t, d in decision.items()
                  if d[0] != "skip") + index.get("_n_tombstones", 0)
-    from semcode_spark.operators.index_build import live_forward
     fwd = live_forward(index).filter(F.col("term").isin(live))
     # candidate restriction only while it can shrink the forward read —
     # see wand_topk_impact: scoring every live-term forward row is

@@ -183,7 +183,20 @@ def _start_heartbeat(path: str, interval_s: float, payload: str) -> None:
     utime would keep the NEW holder's file perpetually fresh even after
     that holder dies — locking all future writers out until this zombie
     process exits (r4 ADVICE #3). A changed/missing payload stops the
-    thread instead."""
+    thread instead.
+
+    Residual TOCTOU window (r5 ADVICE #3, documented trade): the
+    payload check and the subsequent utime/unlink are read-then-act —
+    if the lease is broken AND re-acquired by a new holder in the
+    microseconds between them, the zombie can refresh (or, in
+    release_lease, delete) the new holder's file ONCE before the next
+    payload re-read stops it. One spurious heartbeat extends the new
+    lease by at most one interval; one spurious delete degrades to the
+    pre-lease state (two live writers racing), which the manifest's
+    versioned-snapshot commit keeps crash-consistent. Closing it fully
+    needs an O_EXCL-held fd + fstat/st_nlink verification per beat —
+    complexity not worth it for a window this narrow on a single-writer
+    maintenance path."""
     import threading
 
     stop = threading.Event()

@@ -20,6 +20,28 @@ TABLES = (
 ).split()
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Guarantee downstream NARROW heavy compute (interpreted
+    higher-order functions, regex chains, Python kernels) sees at least
+    ``defaultParallelism`` partitions.
+
+    Single-file/single-row-group parquet inputs arrive as ONE scan
+    split (guide §2.5 "input skew: one huge unsplittable file"), so a
+    codegen-cheap but lambda-heavy projection runs on one core of 32 —
+    measured r6: the whole minhash shingle+hash chain, bm25's per-term
+    tf filters and the cosine kernels were single-task at sf1.0. The
+    repartition is CONDITIONAL: at cluster scale inputs already arrive
+    in many splits and this is a no-op — it never adds a shuffle to an
+    already-parallel plan."""
+    if df.isStreaming:  # micro-batch sizing is the stream's own knob
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; one of {TABLES}")

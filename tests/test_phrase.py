@@ -257,8 +257,9 @@ def test_phrase_prefilter_single_positional_decode(spark, documents,
     # and the positional decode node appears once (each physical node
     # prints twice in "formatted": tree line + detail header)
     assert "EqualTo(term,rareword)" in plan
-    n_nodes = plan.count("MapInPandas") // 2
-    assert n_nodes == 2, plan.count("MapInPandas")
+    # r6: the decode kernels moved from mapInPandas to mapInArrow
+    n_nodes = plan.count("MapInArrow") // 2
+    assert n_nodes == 2, plan.count("MapInArrow")
     # the positional payload (`pos` binary) is read by exactly one scan:
     # the candidate decode reads doc_ids only
     assert plan.count("pos:binary") == 1

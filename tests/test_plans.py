@@ -36,12 +36,16 @@ def test_filter_pushdown_to_scan(spark):
     assert "l_extendedprice" not in s.split("ReadSchema")[1].splitlines()[0]
 
 
-def test_bm25_query_uses_broadcast_join(spark, documents):
+def test_bm25_query_plan_is_narrow(spark, documents):
+    # r6: per-doc query-term tf is computed narrowly over the token
+    # array; the only join left is the 1-row corpus-stats broadcast
+    # (BroadcastNestedLoopJoin) — no shuffle of a (term, doc) relation
     q = bm25_scores(documents, ["spark", "query"])
     s = plan(q)
-    assert "BroadcastHashJoin" in s
+    assert "BroadcastNestedLoopJoin" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
 
 
 def test_bm25_topk_plan_is_take_ordered(spark, documents):
@@ -56,7 +60,11 @@ def test_tokenize_stays_jvm_side_with_partial_agg(spark, documents):
     assert "BatchEvalPython" not in s      # no row-at-a-time Python
     assert "ArrowEvalPython" not in s      # tokenize needs no Python at all
     assert "partial_count" in s            # map-side combine before the shuffle
-    assert s.count("Exchange") == 1        # exactly one shuffle for tf
+    # r6: a conditional round-robin spread of the single-split local
+    # scan (sources.tables.spread) precedes the tokenize stage, so the
+    # plan carries at most TWO exchanges: the spread (absent on
+    # already-parallel inputs) and the tf aggregation shuffle
+    assert 1 <= s.count("Exchange") <= 2
 
 
 def test_dim_join_broadcasts(spark):
@@ -87,7 +95,10 @@ def test_pack_sequences_single_shuffle_partitioned_by_shard(spark, documents):
     from semcode_spark.operators import pipeline as P
 
     s = plan(P.pack_sequences(documents))
-    assert s.count("Exchange") == 1
+    # r6: a conditional round-robin spread of single-split local scans
+    # may precede the window exchange (sources.tables.spread) — the
+    # invariant is the absence of a global single-partition sort
+    assert 1 <= s.count("Exchange") <= 2
     assert "SinglePartition" not in s
 
 

@@ -1149,7 +1149,8 @@ def _empty_tombstones(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, before_group int")
 
 
-def collect_term_dict(index: dict, max_rows: int = 2_000_000) -> None:
+def collect_term_dict(index: dict, max_rows: int = 2_000_000,
+                      hist_max_rows: int = 500_000) -> None:
     """Serving-mode accelerator: pull the full term dictionary
     (term_stats ⋈ term_bounds — df + per-group block bounds) to the
     driver when it fits (``max_rows`` guards web-scale vocabularies:
@@ -1157,10 +1158,23 @@ def collect_term_dict(index: dict, max_rows: int = 2_000_000) -> None:
     memoization, operators/query._term_meta). The frontend-resident
     term-dictionary design of classic search engines: postings stay on
     executors, the tiny per-term metadata doesn't deserve a Spark job
-    per query. Sets index['_term_dict']: term → [bound rows]."""
-    if index["term_stats"].count() > max_rows:
+    per query. Sets index['_term_dict']: term → [bound rows].
+
+    ``hist_max_rows`` (r6, measured): the per-term ``w_hist``
+    impact-prefix ladders dominate dictionary memory — ~4.8 GB of
+    driver heap at the 2M-row cap vs ~1.0 GB without them (tracemalloc
+    of 200k shaped rows ×10). Past this budget the dictionary is
+    collected WITHOUT w_hist: impact planning degrades gracefully to
+    MaxScore term-level skip/full endpoints (_impact_plan's ladder
+    keeps its two endpoint rungs; prefix cuts need the histogram), and
+    correctness is untouched — every bound is still predicate-based."""
+    n_terms = index["term_stats"].count()
+    if n_terms > max_rows:
         return
-    rows = index["term_bounds"].join(
+    tb = index["term_bounds"]
+    if n_terms > hist_max_rows and "w_hist" in tb.columns:
+        tb = tb.drop("w_hist")
+    rows = tb.join(
         index["term_stats"].select("term", "df"), "term").collect()
     d: dict[str, list] = {}
     for r in rows:

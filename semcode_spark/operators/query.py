@@ -178,7 +178,8 @@ class TermMeta(NamedTuple):
 
 
 def _term_meta(
-    spark: SparkSession, index: dict, terms: list[str], n_docs: float, avgdl: float,
+    spark: SparkSession, index: dict, terms: list[str],
+    n_docs: float | None = None, avgdl: float | None = None,
 ) -> TermMeta:
     """Per-term idf, global upper bound, best-block pointer, block/df
     counts and the impact-prefix histogram, from term_stats ⋈
@@ -187,22 +188,44 @@ def _term_meta(
     In serving mode read_index pre-collects the whole term dictionary to
     the driver (the classic frontend-resident term-dictionary design) so
     this is a pure dict lookup; otherwise one tiny Spark job fetches the
-    query terms' rows and memoizes them on the index handle."""
+    query terms' rows and memoizes them on the index handle.
+
+    r6: ``n_docs``/``avgdl`` may be omitted — the 1-row corpus stats
+    then ride the SAME metadata job (cross-joined onto the term rows)
+    and are cached as index['_corpus_row'], saving one Spark job per
+    cold query (a cold wand query was three driver jobs; the job floor,
+    not decode volume, dominates single-query latency at sandbox
+    scale)."""
+    need_corpus = n_docs is None and "_corpus_row" not in index
     term_dict: dict | None = index.get("_term_dict")
     if term_dict is None:
         memo: dict = index.setdefault("_term_memo", {})
         missing = [t for t in terms if t not in memo]
         if missing:
-            rows = (
+            base = (
                 index["term_bounds"].filter(F.col("term").isin(missing))
                 .join(index["term_stats"].select("term", "df"), "term")
-                .collect()
             )
+            if need_corpus:
+                base = base.crossJoin(index["corpus"].select(
+                    F.col("n_docs").alias("_corpus_n"),
+                    F.col("avgdl").alias("_corpus_avgdl")))
+            rows = base.collect()
+            if need_corpus and rows:
+                index["_corpus_row"] = {
+                    "n_docs": rows[0]["_corpus_n"],
+                    "avgdl": rows[0]["_corpus_avgdl"]}
+                need_corpus = False
             for t in missing:
                 memo.setdefault(t, [])
             for r in rows:
                 memo[r["term"]].append(r)
         term_dict = memo
+    if n_docs is None:
+        if need_corpus or "_corpus_row" not in index:
+            index["_corpus_row"] = index["corpus"].collect()[0]
+        n_docs = float(index["_corpus_row"]["n_docs"])
+        avgdl = float(index["_corpus_row"]["avgdl"])
 
     idfs: dict[str, float] = {}
     term_ubs: dict[str, float] = {}
@@ -281,13 +304,11 @@ def wand_topk(
     terms = _query_terms(index, query)
     if not terms:
         raise ValueError("empty query")
-    if "_corpus_row" not in index:  # cache: one collect per index, not per query
-        index["_corpus_row"] = index["corpus"].collect()[0]
+    # stage 0 (metadata-only; dict lookup in serving mode, tiny job
+    # otherwise — r6: the 1-row corpus stats ride the same job)
+    meta = _term_meta(spark, index, terms)
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-
-    # stage 0 (metadata-only; dict lookup in serving mode, tiny job otherwise)
-    meta = _term_meta(spark, index, terms, n_docs, avgdl)
     idfs, term_ubs, best, n_blocks = meta.idfs, meta.ubs, meta.best, meta.n_blocks
     # query terms enter the plan as literals (isin + idf map), not as a
     # broadcast-joined DataFrame: at a handful of terms per query the
@@ -441,12 +462,22 @@ def _forward_exact_scores(
     )
 
 
+def _common_term_regime(dfs: dict[str, float], n_docs: float) -> bool:
+    """True when the query's posting mass is stopword-heavy (Σ df over
+    half the corpus): only then does the partial-sum θ underestimate
+    badly enough for the exact-completion bootstrap's extra forward
+    pass to pay for itself — rare-term queries already plan ≤4% decode
+    fractions from partial sums (measured r6, bench_impact.py)."""
+    return sum(dfs.values()) >= 0.5 * n_docs
+
+
 def _bootstrap_theta_eff_prefix(
     spark: SparkSession,
     index: dict,
     idfs: dict[str, float],
     k: int,
     cfg: EngineConfig,
+    exact: bool = True,
 ) -> float | None:
     """Impact-mode θ bootstrap: take the docs of every query term's
     top-``impact_bootstrap_depth`` blocks (all salts/groups — in the
@@ -470,7 +501,7 @@ def _bootstrap_theta_eff_prefix(
             & (F.col("block_id") < cfg.bm25.impact_bootstrap_depth))
     avgdl = float(index["_corpus_row"]["avgdl"])
     boot_blocks = index["postings"].filter(pred)
-    if index.get("forward") is not None:
+    if exact and index.get("forward") is not None:
         ids = (decode_doc_ids_only(boot_blocks)
                .select("doc_id").distinct())
         scored = _forward_exact_scores(
@@ -623,11 +654,9 @@ def wand_topk_impact(
             "(IndexConfig(store_forward=True)): exact candidate "
             "completion reads (doc_id → term, tf) there instead of "
             "re-decoding skipped posting lists")
-    if "_corpus_row" not in index:
-        index["_corpus_row"] = index["corpus"].collect()[0]
+    meta = _term_meta(spark, index, terms)  # corpus row rides along (r6)
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-    meta = _term_meta(spark, index, terms, n_docs, avgdl)
     live = sorted(meta.idfs)
 
     def _flat() -> DataFrame:
@@ -639,7 +668,9 @@ def wand_topk_impact(
             .limit(k)
         )
 
-    theta_eff = _bootstrap_theta_eff_prefix(spark, index, meta.idfs, k, cfg)
+    theta_eff = _bootstrap_theta_eff_prefix(
+        spark, index, meta.idfs, k, cfg,
+        exact=_common_term_regime(meta.dfs, n_docs))
     plan = _impact_plan(meta, theta_eff) if theta_eff is not None else None
     if stats is not None:
         stats.update({
@@ -720,11 +751,9 @@ def bm25_topk_conj(
     terms = _query_terms(index, query)
     if not terms:
         raise ValueError("empty query")
-    if "_corpus_row" not in index:
-        index["_corpus_row"] = index["corpus"].collect()[0]
+    idfs = _term_meta(spark, index, terms).idfs  # corpus row rides (r6)
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-    idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
     k1, b = cfg.bm25.k1, cfg.bm25.b
     blocks = index["postings"].filter(F.col("term").isin(terms))
     postings = filter_dead_postings(
@@ -776,11 +805,8 @@ def _rare_term_candidates(
     metadata) fits cfg.index.broadcast_ids_max; shuffle-join above."""
     if len(uniq) < 2:
         return None, False
-    if "_corpus_row" not in index:
-        index["_corpus_row"] = index["corpus"].collect()[0]
+    meta = _term_meta(spark, index, uniq)  # corpus row rides along (r6)
     n_docs_idx = float(index["_corpus_row"]["n_docs"])
-    avgdl_idx = float(index["_corpus_row"]["avgdl"])
-    meta = _term_meta(spark, index, uniq, n_docs_idx, avgdl_idx)
     if meta.n_blocks <= cfg.bm25.prune_min_blocks:
         return None, False
     # live dfs ride along in the term metadata (memoized / serving-mode
@@ -886,11 +912,9 @@ def phrase_topk(
         raise ValueError(
             "index stores no positions — build with "
             "IndexConfig(store_positions=True) to serve phrase queries")
-    if "_corpus_row" not in index:
-        index["_corpus_row"] = index["corpus"].collect()[0]
+    idfs = _term_meta(spark, index, terms).idfs  # corpus row rides (r6)
     corpus = index["_corpus_row"]
     n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-    idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
     if not idfs:  # no phrase term exists in the vocabulary: no hits
         # (an empty idf literal map would not even analyze)
         return spark.createDataFrame([], "doc_id long, score double")
@@ -976,11 +1000,6 @@ def phrase_topk_batch(
         raise ValueError(
             "index stores no positions — build with "
             "IndexConfig(store_positions=True) to serve phrase queries")
-    if "_corpus_row" not in index:
-        index["_corpus_row"] = index["corpus"].collect()[0]
-    corpus = index["_corpus_row"]
-    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
-
     # duplicate query_ids would merge both phrases' slot rows under one
     # id and silently corrupt the ns == n_slots containment join (r6,
     # advice) — reject up front
@@ -1006,7 +1025,9 @@ def phrase_topk_batch(
         slot_rows, "query_id long, term string, slot int")
     qmeta = spark.createDataFrame(meta_rows, "query_id long, n_slots int, k int")
     terms = sorted(all_terms)
-    idfs = _term_meta(spark, index, terms, n_docs, avgdl).idfs
+    idfs = _term_meta(spark, index, terms).idfs  # corpus row rides (r6)
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
     if not idfs:  # no phrase term exists in the vocabulary: no hits
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, score double")
@@ -1291,10 +1312,6 @@ def bm25_topk_batch(
     cannot displace the k fully-scored bootstrap docs (same argument as
     wand_topk, per query). Lossless: tests assert pruned == unpruned.
     """
-    if "_corpus_row" not in index:
-        index["_corpus_row"] = index["corpus"].collect()[0]
-    corpus = index["_corpus_row"]
-    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
     qt_rows, k_rows, q_terms = [], [], {}
@@ -1310,7 +1327,9 @@ def bm25_topk_batch(
     all_terms = sorted({t for _, t in qt_rows})
     terms = qterms.select("term").distinct()
 
-    meta = _term_meta(spark, index, all_terms, n_docs, avgdl)
+    meta = _term_meta(spark, index, all_terms)  # corpus row rides (r6)
+    corpus = index["_corpus_row"]
+    n_docs, avgdl = float(corpus["n_docs"]), float(corpus["avgdl"])
     idfs, term_ubs, best = meta.idfs, meta.ubs, meta.best
     if prune == "impact":
         return _bm25_topk_batch_impact(
@@ -1468,10 +1487,22 @@ def _bm25_topk_batch_impact(
 
     best_pred = (F.col("term").isin(live)
                  & (F.col("block_id") < cfg.bm25.impact_bootstrap_depth))
-    boot_ids = (decode_doc_ids_only(index["postings"].filter(best_pred))
-                .select("doc_id").distinct())
-    boot = (live_forward(index).filter(F.col("term").isin(live))
-            .join(F.broadcast(boot_ids), "doc_id"))
+    # exact completion only when some query is stopword-heavy — the
+    # extra forward pass buys nothing for rare-term-only batches, whose
+    # partial-sum θ already plans ≤4% decode fractions
+    any_common = any(
+        _common_term_regime({t: meta.dfs[t] for t in ts if t in meta.dfs},
+                            n_docs)
+        for ts in q_terms.values())
+    if any_common:
+        boot_ids = (decode_doc_ids_only(index["postings"].filter(best_pred))
+                    .select("doc_id").distinct())
+        boot = (live_forward(index).filter(F.col("term").isin(live))
+                .join(F.broadcast(boot_ids), "doc_id"))
+    else:
+        boot = filter_dead_postings(
+            decode_postings(index["postings"].filter(best_pred)),
+            index.get("tombstones"), index.get("_n_tombstones", 0))
     win_b = Window.partitionBy("query_id").orderBy(
         F.round("score", cfg.bm25.rank_decimals).desc(),
         F.col("doc_id").asc())

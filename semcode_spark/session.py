@@ -39,18 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Input split sizing (r6, guide §6/§2.5): sandbox corpora are a
-        # handful of single-digit-MB files, and the default 128 MB
-        # split + 4 MB open-cost packs them into 1-2 scan tasks — every
-        # narrow heavy chain (tokenize, extract pandas_udf, cosine
-        # kernels) then runs on 1-2 of 32 cores. Small splits + a
-        # parallelism floor fix that. ENV-PARAMETERIZED because the
-        # right value is scale-dependent: at 100 TB set
-        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m (large sequential scans,
-        # fewer map tasks feeding shuffles — guide §2.2/§6); the floor
-        # tracks the session's core count either way.
+        # handful of single-digit-MB single-row-group files, and the
+        # default 128 MB split packs a multi-file read into very few
+        # scan tasks — narrow heavy chains (tokenize, extract
+        # pandas_udf, cosine kernels) then run on a fraction of the
+        # cores. Smaller splits cap that (operators additionally
+        # spread() single-split scans — the row-group-bound case
+        # splits alone cannot fix). minPartitionNum is left at Spark's
+        # default (the session parallelism), which already floors the
+        # split count for small multi-file inputs. ENV-PARAMETERIZED
+        # because the right value is scale-dependent: at 100 TB set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m (large sequential
+        # scans, fewer map tasks feeding shuffles — guide §2.2/§6).
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
-        .config("spark.sql.files.minPartitionNum", cpus)
         # Broadcast threshold: query-term / dim tables always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))

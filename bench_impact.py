@@ -34,7 +34,7 @@ def main() -> None:
     from semcode_spark.fixtures.queries import REFERENCE_QUERIES
     from semcode_spark.operators.index_build import build_index, read_index
     from semcode_spark.operators.query import (
-        _query_terms, _term_meta, bm25_topk_batch, wand_topk, wand_topk_impact)
+        bm25_topk_batch, wand_topk, wand_topk_impact)
 
     out: dict = {}
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -89,14 +89,12 @@ def main() -> None:
 
     # --- VERDICT #3: cand_join regimes on the worst stopword query ---
     worst = REFERENCE_QUERIES[per_q.index(max(per_q))]
-    from semcode_spark.config import DEFAULT, IndexConfig as IC
-    from dataclasses import replace
     # force cand_join True (huge broadcast_ids_max) and False (0)
     for key, ids_max in (("impact_cand_join_sec", 1 << 40),
                         ("impact_fwd_scan_sec", 0)):
         cfg2 = EngineConfig(
             bm25=BM25Config(),
-            index=IC(broadcast_ids_max=ids_max))
+            index=IndexConfig(broadcast_ids_max=ids_max))
         st = {}
         best = None
         for _ in range(2):

@@ -17,8 +17,6 @@ array_min / aggregate) — zero Python in the hot path.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -178,13 +176,94 @@ def _minhash_cols_from_arrays(arrs: DataFrame, n_perm: int) -> DataFrame:
     ])
 
 
+def _shingle_minhash_kernel(
+    docs: DataFrame, n: int, n_perm: int,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_sh, h1s array<long>, m0..m{n_perm-1}) in ONE Arrow
+    kernel (guide §4.2): per task, shingle strings are built in Python,
+    md5'd ONCE PER DISTINCT SHINGLE via a task-lifetime cache (the
+    synthetic corpus has ~25k distinct shingles behind 7.2M
+    occurrences at sf1.0 — the interpreted JVM chain paid the
+    md5+conv per OCCURRENCE and was the 6.4 s floor of the r6 minhash
+    pipeline), and the n_perm mins come from one numpy broadcast.
+
+    Bit-identical to the expression chain it replaces: the same
+    tokenizer output crosses the boundary (tokens_col stays JVM), the
+    same md5 nibble split (int(hex[0:15],16), int(hex[15:29],16) mod
+    2^55 — both UTF-8, both overflow-free int64), the same
+    min(h1 + p·h2) family, and n_sh = |distinct shingles|. Docs
+    shorter than n tokens are filtered JVM-side exactly as before."""
+    import hashlib
+
+    from semcode_spark.sources.tables import spread
+
+    tok_df = (spread(docs)
+              .select(F.col(id_col).alias("doc_id"),
+                      tokens_col(text_col).alias("_toks"))
+              .filter(F.size(F.col("_toks")) >= n))
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        cache: dict[str, tuple[int, int]] = {}
+        perms = np.arange(n_perm, dtype=np.int64)
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            toks_col = rb.column(1)
+            n_docs = rb.num_rows
+            nsh = np.empty(n_docs, dtype=np.int32)
+            mins = np.empty((n_docs, n_perm), dtype=np.int64)
+            h1s: list[np.ndarray] = []
+            for i in range(n_docs):
+                toks = toks_col[i].as_py()
+                seen: dict[str, None] = {}
+                h1l: list[int] = []
+                h2l: list[int] = []
+                for j in range(len(toks) - n + 1):
+                    sh = " ".join(toks[j:j + n])
+                    if sh in seen:
+                        continue
+                    seen[sh] = None
+                    hv = cache.get(sh)
+                    if hv is None:
+                        d = hashlib.md5(sh.encode()).hexdigest()
+                        hv = (int(d[:15], 16), int(d[15:29], 16) % (1 << 55))
+                        cache[sh] = hv
+                    h1l.append(hv[0])
+                    h2l.append(hv[1])
+                h1 = np.asarray(h1l, dtype=np.int64)
+                h2 = np.asarray(h2l, dtype=np.int64)
+                nsh[i] = h1.size
+                mins[i] = (h1[None, :] + perms[:, None] * h2[None, :]).min(axis=1)
+                h1s.append(h1)
+            cols = {
+                "doc_id": ids,
+                "n_sh": pa.array(nsh),
+                "h1s": pa.array([a.tolist() for a in h1s],
+                                type=pa.list_(pa.int64())),
+            }
+            for p in range(n_perm):
+                cols[f"m{p}"] = pa.array(mins[:, p])
+            yield from pa.table(cols).to_batches()
+
+    schema = ("doc_id long, n_sh int, h1s array<long>, "
+              + ", ".join(f"m{p} long" for p in range(n_perm)))
+    return tok_df.mapInArrow(kernel, schema=schema)
+
+
 def minhash_signature(
     docs: DataFrame, n_perm: int = 16, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_perm]) — MinHash over word shingles."""
-    mh = _minhash_cols_from_arrays(
-        shingle_arrays(docs, n, text_col, id_col), n_perm)
+    mh = _shingle_minhash_kernel(docs, n, n_perm, text_col, id_col)
     return mh.select(
         "doc_id", F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig")
     )
@@ -212,17 +291,17 @@ def minhash_lsh_pairs(
     cluster an executor loss makes it unrecoverable, so eager is
     opt-in, never the default."""
     rows_per_band = n_perm // bands
-    # r6 shape (guide §2.3/§2.4): everything is derived from ONE cached
-    # per-doc relation (doc_id, n_sh, hh, h1s) — shingle strings are
-    # built and md5'd exactly once while the cache materializes, the
-    # minhash mins are zero-shuffle array passes over the cached
-    # structs, and candidate verification intersects the 60-bit hash
-    # arrays. The r5 shape shuffled the exploded shingle-string
-    # relation three times (minhash groupBy, sizes groupBy, and a
-    # candidates×shingles explode-join) and re-built/re-hashed shingle
-    # strings per consumer. Measured at sf1.0 (with the spread fix):
-    # 15.9 → 5.4 s warm best-of-2; 20.7 → 6.5-7.0 s on the frozen
-    # bench's single-shot methodology.
+    # r6 shape (guide §2.3/§2.4/§4.2): everything is derived from ONE
+    # cached per-doc relation (doc_id, n_sh, h1s, m0..m15) produced by
+    # the Arrow minhash kernel — shingles are built and md5'd once per
+    # DISTINCT shingle per task, mins come from one numpy broadcast,
+    # and candidate verification intersects the 60-bit hash arrays.
+    # The r5 shape shuffled the exploded shingle-string relation three
+    # times (minhash groupBy, sizes groupBy, candidates×shingles
+    # explode-join) and re-built/re-hashed shingle strings per
+    # consumer; an intermediate r6 shape kept the per-occurrence
+    # interpreted md5+conv chain, whose cache materialization alone
+    # was 6.4 s at sf1.0.
     #
     # Hash-based |A∩B|: h1 is the same 60-bit md5 prefix the minhash
     # permutations use; distinct shingle strings map to distinct h1s
@@ -230,27 +309,9 @@ def minhash_lsh_pairs(
     # P ≈ |A∪B|²/2^61 ≈ 2e-14 per pair, orders of magnitude below the
     # float-rounding tolerance the engine already relies on vs the
     # oracle. |A| / |B| use the exact shingle-array sizes.
-    sh_hh = shingle_arrays(docs, n, text_col, id_col).select(
-        "doc_id",
-        F.transform(F.col("shl"), lambda s: F.md5(s)).alias("_hx"),
-        F.size(F.col("shl")).alias("n_sh"))
-    arrs = sh_hh.select(
-        "doc_id", "n_sh",
-        F.transform(F.col("_hx"), lambda h: F.struct(
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            (F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
-             % F.lit(1 << 55)).alias("h2"))).alias("_hh"))
-    arrs = arrs.select(
-        "doc_id", "n_sh", "_hh",
-        F.transform(F.col("_hh"), lambda x: x["h1"]).alias("_h1s")).persist()
-
-    def _perm(p: int):
-        return lambda x: x["h1"] + p * x["h2"]
-
-    mh = arrs.select("doc_id", *[
-        F.array_min(F.transform(F.col("_hh"), _perm(p))).alias(f"m{p}")
-        for p in range(n_perm)
-    ])
+    arrs = _shingle_minhash_kernel(docs, n, n_perm, text_col, id_col) \
+        .persist()
+    mh = arrs.select("doc_id", *[F.col(f"m{p}") for p in range(n_perm)])
     # band keys row-wise from the signature columns (no second shuffle:
     # the per-(doc, band) collect_list agg an earlier shape used is pure
     # overhead once the signature is columnar)
@@ -279,9 +340,9 @@ def minhash_lsh_pairs(
     # the candidate pairs themselves plus the two hash arrays they
     # touch.
     sha = arrs.select(F.col("doc_id").alias("a"),
-                      F.col("_h1s").alias("h_a"), F.col("n_sh").alias("na"))
+                      F.col("h1s").alias("h_a"), F.col("n_sh").alias("na"))
     shb = arrs.select(F.col("doc_id").alias("b"),
-                      F.col("_h1s").alias("h_b"), F.col("n_sh").alias("nb"))
+                      F.col("h1s").alias("h_b"), F.col("n_sh").alias("nb"))
     result = (
         cand.join(sha, "a").join(shb, "b")
         .select(
@@ -306,43 +367,72 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash long): tf-weighted sign votes per bit of the
-    term's md5-derived integer. ONE hash aggregate with ``bits``
-    conditional-sum buffers straight over the token stream: since
-    Σ_term tf·sign(bit) ≡ Σ_token sign(bit), the (doc_id, term) tf
-    pre-aggregation is pure waste — dropping it removes a whole
-    shuffle (r4; measured 1.75 s → 1.3 s at sf0.1 and bit-identical),
-    and the surviving exchange carries only the map-side-combined
-    per-doc vote partials, never the token rows. (r2 note still holds:
-    an explode-per-bit shape shuffles 32× this volume; and r1's
-    two-shuffle tf form is what this replaces.)"""
+    term's md5-derived integer; docs with zero tokens emit no row
+    (the exploded-aggregate contract this kernel replaces).
+
+    r6 (guide §4.2): ONE Arrow kernel — per task, md5 is computed once
+    per DISTINCT token (a task-lifetime cache; Σ_term tf·sign ≡
+    Σ_token sign, so per-occurrence dict lookups suffice), the per-bit
+    vote counts are ``bits`` vectorized reduceats over the batch's
+    flat hash stream, and the sign test ``2·ones_b > cnt`` (≡ votes_b
+    > 0) assembles the hash in uint64 then reinterprets as int64 —
+    the same two's-complement wrap as the JVM's ``1L << 63`` for
+    bits=64. Replaces the r5 shape's per-token-occurrence md5 plus a
+    ``bits``-buffer hash aggregate (measured 1.9-2.0 → ~0.6 s at
+    sf1.0, bit-identical, oracle-verified)."""
     from semcode_spark.sources.tables import spread
 
-    toks = spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
-    )
-    h = toks.withColumn("h", md5_long_col(F.col("term")))
-    # r6: branchless vote buffers — sum the raw bit (0/1) instead of a
-    # CASE WHEN ±1 per token per bit, plus one shared token counter:
-    # v_b = 2·ones_b − cnt, so the sign test v_b > 0 is exactly
-    # 2·ones_b > cnt. Same aggregate shape (one hash agg, map-side
-    # combine), ~bits× fewer branch expressions per token row.
-    votes = h.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}")
-          for b in range(bits)]
-    )
-    # shift via SQL expr, not F.lit(1 << b): a Python literal 1<<63
-    # exceeds LongType range (bits=64 is the standard simhash width)
-    cnt = F.col("_cnt")
-    sim = reduce(
-        lambda acc, b: acc + F.when(
-            2 * F.col(f"o{b}") > cnt, F.expr(f"cast(1 as bigint) << {b}")
-        ).otherwise(F.lit(0).cast("long")),
-        range(1, bits),
-        F.when(2 * F.col("o0") > cnt, F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long")),
-    )
-    return votes.select("doc_id", sim.alias("simhash"))
+    tok_df = (spread(docs)
+              .select(F.col(id_col).alias("doc_id"),
+                      tokens_col(text_col).alias("_toks"))
+              .filter(F.size(F.col("_toks")) >= 1))
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cache: dict[str, int] = {}
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            toks_col = rb.column(1)
+            n_docs = rb.num_rows
+            # per-token hashes WITHOUT a per-token Python loop: Arrow
+            # dictionary-encodes the flattened token stream (C++), md5
+            # runs only on the batch's distinct tokens, and a numpy
+            # gather expands back to per-occurrence hashes
+            counts = pc.list_value_length(toks_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            de = pc.dictionary_encode(pc.list_flatten(toks_col))
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            vals = de.dictionary.to_pylist()
+            hv = np.empty(len(vals), dtype=np.uint64)
+            for j, t in enumerate(vals):
+                v = cache.get(t)
+                if v is None:
+                    v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    cache[t] = v
+                hv[j] = v
+            h = hv[de.indices.to_numpy(zero_copy_only=False)]
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            sim = np.zeros(n_docs, dtype=np.uint64)
+            for b in range(bits):
+                ones = np.add.reduceat((h >> np.uint64(b)) & np.uint64(1),
+                                       starts)
+                sim |= (2 * ones > counts.astype(np.uint64)).astype(
+                    np.uint64) << np.uint64(b)
+            yield from pa.table({
+                "doc_id": ids,
+                "simhash": pa.array(sim.view(np.int64)),
+            }).to_batches()
+
+    return tok_df.mapInArrow(kernel, schema="doc_id long, simhash long")
 
 
 def simhash_neardups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,

@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from semcode_spark.functions.hashing import md5_long_col
 from semcode_spark.functions.tokenize import tokens_col
 from semcode_spark.functions.rounding import fround
 from semcode_spark.operators.textstats import fingerprint
@@ -119,62 +118,6 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------------ minhash ------
-
-def _minhash_cols(sh: DataFrame, n_perm: int) -> DataFrame:
-    """(doc_id, m0..m{n_perm-1}) — MinHash as ONE hash aggregate with
-    n_perm min buffers over the EXPLODED shingle relation. Kept for
-    callers that already hold the posting shape; the zero-shuffle array
-    form (`_minhash_cols_from_arrays`) is the serving path (r6).
-
-    Carter-Wegman permutations over ONE md5 per shingle: the digest's
-    nibbles 1-15 give h1 (60 bits) and 16-29 give h2 (taken mod 2^55);
-    permutation p's hash is h1 + p·h2 — for p ≤ 63 this stays under
-    2^61, so the arithmetic is overflow-free in both Spark (wrapping
-    longs never trip) and DuckDB (which *errors* on bigint overflow) —
-    md5 work drops 16× vs hashing 'p:shingle' per permutation."""
-    base = sh.select(
-        "doc_id",
-        md5_long_col(F.col("shingle")).alias("h1"),
-        (F.conv(F.substring(F.md5(F.col("shingle")), 16, 14), 16, 10).cast("long")
-         % F.lit(1 << 55)).alias("h2"),
-    )
-    return base.groupBy("doc_id").agg(*[
-        F.min(F.col("h1") + p * F.col("h2")).alias(f"m{p}")
-        for p in range(n_perm)
-    ])
-
-
-def _minhash_cols_from_arrays(arrs: DataFrame, n_perm: int) -> DataFrame:
-    """(doc_id, m0..m{n_perm-1}) from (doc_id, shl array) — the r6
-    zero-shuffle MinHash: one md5 per shingle evaluated in a
-    materialized projection, then n_perm array_min passes over the
-    per-doc (h1, h2) structs. Bit-identical to ``_minhash_cols``
-    (same Carter-Wegman family, same md5 nibbles) but entirely narrow:
-    the old shape shuffled the whole exploded shingle relation into a
-    groupBy(doc_id) hash aggregate; this one never leaves the row
-    (guide §2.4 "remove shuffles outright"). Projection boundaries
-    between md5 → (h1, h2) → mins are deliberate: CollapseProject
-    refuses to inline an expensive producer referenced more than once,
-    so the md5 runs once per shingle, not once per permutation."""
-    hx = arrs.select(
-        "doc_id",
-        F.transform(F.col("shl"), lambda s: F.md5(s)).alias("_hx"))
-    hh = hx.select(
-        "doc_id",
-        F.transform(F.col("_hx"), lambda h: F.struct(
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            (F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
-             % F.lit(1 << 55)).alias("h2"))).alias("_hh"))
-    def _perm(p: int):
-        # closure factory, NOT a defaulted 2-arg lambda: a two-argument
-        # transform lambda receives (element, index) and would shadow p
-        return lambda x: x["h1"] + p * x["h2"]
-
-    return hh.select("doc_id", *[
-        F.array_min(F.transform(F.col("_hh"), _perm(p))).alias(f"m{p}")
-        for p in range(n_perm)
-    ])
-
 
 def _shingle_minhash_kernel(
     docs: DataFrame, n: int, n_perm: int,

@@ -1101,9 +1101,7 @@ def _manifest_rows(spark: SparkSession, man_dir: str, version: int) -> list:
 
     for attempt in range(3):
         try:
-            return spark.read.parquet(man_dir).filter(
-                (F.col("status") == "completed")
-                & (F.col("version") == version)).collect()
+            return _read_manifest(spark, man_dir, version)
         except Exception:
             if not os.path.isdir(man_dir) or not any(
                     not f.startswith((".", "_")) for f in os.listdir(man_dir)):
@@ -1112,6 +1110,30 @@ def _manifest_rows(spark: SparkSession, man_dir: str, version: int) -> list:
                 raise
             _t.sleep(0.1 * (attempt + 1))
     return []
+
+
+def _read_manifest(spark: SparkSession, man_dir: str, version: int) -> list:
+    """One manifest read. r6: the manifest is tiny catalog metadata —
+    read it DRIVER-SIDE with pyarrow (the Iceberg manifest pattern)
+    instead of paying a Spark job per index open (a cold index query
+    was burning one of its ~3 driver jobs here). pyarrow's dataset
+    reader skips `_`/`.` files like Spark's committer artifacts; any
+    failure (e.g. a remote filesystem pyarrow can't reach) falls back
+    to the Spark read, preserving cluster behavior. Consumers access
+    rows by key only, so plain dicts substitute for Rows."""
+    try:
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(man_dir)
+        return [r for r in tbl.to_pylist()
+                if r.get("status") == "completed"
+                and r.get("version") == version]
+    except Exception:
+        if not os.path.isdir(man_dir):
+            raise
+        return spark.read.parquet(man_dir).filter(
+            (F.col("status") == "completed")
+            & (F.col("version") == version)).collect()
 
 
 def _completed(spark: SparkSession, man_dir: str, version: int) -> set[str]:
@@ -1182,6 +1204,40 @@ def collect_term_dict(index: dict, max_rows: int = 2_000_000,
     index["_term_dict"] = d
 
 
+def _open_table(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the schema derived DRIVER-SIDE (r6):
+    every schema-less parquet read pays a footer-inference Spark job,
+    and read_index opens six tables — six jobs before the first query
+    touches data. The data schema comes from ONE footer via pyarrow;
+    hive-style partition columns (seg=/group=, always small ints in
+    this layout) are appended from the directory names. Falls back to
+    plain inference on any surprise (remote FS, exotic types)."""
+    try:
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        first, parts = None, []
+        for dp, dns, fns in os.walk(path):
+            dns.sort()
+            for fn in sorted(fns):
+                if not fn.startswith((".", "_")) and fn.endswith(".parquet"):
+                    first = os.path.join(dp, fn)
+                    rel = os.path.relpath(dp, path)
+                    parts = [seg.split("=", 1)[0] for seg in rel.split(os.sep)
+                             if "=" in seg]
+                    break
+            if first:
+                break
+        if first is None:
+            raise FileNotFoundError(path)
+        fields = list(from_arrow_schema(_pq.read_schema(first)).fields)
+        fields += [StructField(p, IntegerType(), True) for p in parts]
+        return spark.read.schema(StructType(fields)).parquet(path)
+    except Exception:
+        return spark.read.parquet(path)
+
+
 def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
                term_dict_max: int = 2_000_000) -> dict[str, DataFrame]:
     """Open the CURRENT snapshot of an index.
@@ -1206,13 +1262,13 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
     segs, groups = _visible(spark, out_dir, version)
     seg_list, group_list = sorted(segs), sorted(groups)
 
-    corpus_raw = spark.read.parquet(os.path.join(vdir, "corpus")).filter(
+    corpus_raw = _open_table(spark, os.path.join(vdir, "corpus")).filter(
         F.col("seg").isin(seg_list))
     corpus = corpus_raw.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    term_stats_raw = spark.read.parquet(os.path.join(vdir, "term_stats")).filter(
+    term_stats_raw = _open_table(spark, os.path.join(vdir, "term_stats")).filter(
         F.col("seg").isin(seg_list))
     term_stats_agg = term_stats_raw.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf"),
@@ -1221,13 +1277,13 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
 
     tomb_dir = os.path.join(vdir, "tombstones")
     if os.path.isdir(tomb_dir):
-        tombstones = spark.read.parquet(tomb_dir).filter(
+        tombstones = _open_table(spark, tomb_dir).filter(
             F.col("seg").isin(seg_list)).select("doc_id", "before_group")
         n_tomb = tombstones.count()
     else:
         tombstones, n_tomb = _empty_tombstones(spark), 0
 
-    docs_raw = spark.read.parquet(os.path.join(vdir, "docs")).filter(
+    docs_raw = _open_table(spark, os.path.join(vdir, "docs")).filter(
         F.col("seg").isin(seg_list))
     if n_tomb:
         t = tombstones.select(F.col("doc_id").alias("t_id"),
@@ -1240,7 +1296,7 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
         docs_live = docs_raw
 
     fwd_dir = os.path.join(vdir, "forward")
-    forward = (spark.read.parquet(fwd_dir).filter(F.col("seg").isin(seg_list))
+    forward = (_open_table(spark, fwd_dir).filter(F.col("seg").isin(seg_list))
                if os.path.isdir(fwd_dir) else None)
 
     idx: dict = {
@@ -1248,9 +1304,9 @@ def read_index(spark: SparkSession, out_dir: str, cache: bool = False,
         "forward": forward,
         "corpus": corpus,
         "term_stats": term_stats_agg,
-        "term_bounds": spark.read.parquet(os.path.join(vdir, "term_bounds")).filter(
+        "term_bounds": _open_table(spark, os.path.join(vdir, "term_bounds")).filter(
             F.col("group").isin(group_list)),
-        "postings": spark.read.parquet(os.path.join(vdir, "postings")).filter(
+        "postings": _open_table(spark, os.path.join(vdir, "postings")).filter(
             F.col("group").isin(group_list)),
         "tombstones": tombstones,
         "analyzer": read_meta(vdir).get("analyzer", "standard"),
